@@ -1,0 +1,245 @@
+package graft.codec
+
+import java.util.zip.CRC32
+
+/** FSST — Fast Static Symbol Table string compression (simplified from the
+  * public VLDB'20 paper "FSST: Fast Random Access String Compression",
+  * Boncz/Neumann/Leis). Chunk-local symbol table of up to 255 symbols of
+  * 1..8 bytes, greedy longest-match encode, code 255 = escape + literal.
+  *
+  * Role in this engine (SURVEY.md §7): compresses the string side-columns of
+  * a chunk (concatenated doc_id / source bytes) — the analog of the
+  * reference handling `str` input by UTF-8 encoding it first
+  * (`/root/reference/src/pyppmd/__init__.py:83,144-145`), except we use a
+  * static per-chunk table instead of an adaptive byte model.
+  *
+  * Framing: [magic 'G','S'][mode u8: 0=raw 1=fsst][varint rawLen]
+  *          mode 1: [u8 nSymbols][per symbol: u8 len, bytes][payload]
+  *          mode 0: [raw bytes]
+  *          [crc32 LE of all previous bytes]
+  */
+object Fsst {
+  final val EscapeCode = 255
+  final val MaxSymbols = 255
+  final val MaxSymbolLen = 8
+  private final val MagicG: Byte = 'G'
+  private final val MagicS: Byte = 'S'
+
+  final class SymbolTable(val symbols: Array[Array[Byte]]) {
+    // bucket by first byte, longest-first, for greedy longest match
+    private[Fsst] val buckets: Array[Array[Int]] = {
+      val tmp = Array.fill(256)(List.empty[Int])
+      for (i <- symbols.indices)
+        tmp(symbols(i)(0) & 0xff) ::= i
+      tmp.map(_.sortBy(i => -symbols(i).length).toArray)
+    }
+
+    /** Longest symbol matching data at pos, or -1. */
+    def findLongest(data: Array[Byte], pos: Int, limit: Int): Int = {
+      val bucket = buckets(data(pos) & 0xff)
+      var bi = 0
+      while (bi < bucket.length) {
+        val si = bucket(bi)
+        val s = symbols(si)
+        if (pos + s.length <= limit && matches(data, pos, s)) return si
+        bi += 1
+      }
+      -1
+    }
+    private def matches(d: Array[Byte], pos: Int, s: Array[Byte]): Boolean = {
+      var i = 0
+      while (i < s.length) {
+        if (d(pos + i) != s(i)) return false
+        i += 1
+      }
+      true
+    }
+  }
+
+  /** Train a table on (a sample of) the data: iterative greedy merge of
+    * frequent adjacent symbol pairs, scored by gain = freq * length. */
+  def train(data: Array[Byte], generations: Int = 4,
+            sampleLimit: Int = 1 << 14): SymbolTable = {
+    val sample =
+      if (data.length <= sampleLimit) data
+      else java.util.Arrays.copyOf(data, sampleLimit)
+    var table = new SymbolTable(Array.empty)
+    var gen = 0
+    while (gen < generations) {
+      table = refine(table, sample)
+      gen += 1
+    }
+    table
+  }
+
+  private def refine(table: SymbolTable, sample: Array[Byte]): SymbolTable = {
+    val nSym = table.symbols.length
+    // pseudo-code space: 0..nSym-1 = table symbols, 256 literals after
+    val nCodes = nSym + 256
+    val freq1 = new Array[Long](nCodes)
+    val pairGain = new java.util.HashMap[Long, Array[Long]]() // (a,b) -> [count]
+    var pos = 0
+    var prev = -1
+    val n = sample.length
+    while (pos < n) {
+      val si = if (nSym == 0) -1 else table.findLongest(sample, pos, n)
+      val (code, len) =
+        if (si >= 0) (si, table.symbols(si).length)
+        else (nSym + (sample(pos) & 0xff), 1)
+      freq1(code) += 1
+      if (prev >= 0) {
+        val key = prev.toLong << 32 | code.toLong
+        val cell = pairGain.computeIfAbsent(key, _ => new Array[Long](1))
+        cell(0) += 1
+      }
+      prev = code
+      pos += len
+    }
+    // candidates: existing symbols, literals, and pair concatenations
+    def codeBytes(c: Int): Array[Byte] =
+      if (c < nSym) table.symbols(c) else Array((c - nSym).toByte)
+    val cand = new java.util.HashMap[String, (Array[Byte], Long)]()
+    def offer(bytes: Array[Byte], gain: Long): Unit = {
+      if (bytes.length > MaxSymbolLen) return
+      val key = new String(bytes.map(b => (b & 0xff).toChar))
+      val cur = cand.get(key)
+      if (cur == null || cur._2 < gain) cand.put(key, (bytes, gain))
+    }
+    var c = 0
+    while (c < nCodes) {
+      if (freq1(c) > 0) offer(codeBytes(c), freq1(c) * codeBytes(c).length)
+      c += 1
+    }
+    pairGain.forEach { (key, cnt) =>
+      val a = (key >>> 32).toInt
+      val b = (key & 0xffffffffL).toInt
+      val merged = codeBytes(a) ++ codeBytes(b)
+      if (merged.length <= MaxSymbolLen) offer(merged, cnt(0) * merged.length)
+    }
+    import scala.jdk.CollectionConverters._
+    val top = cand.values.asScala.toArray
+      .sortBy { case (bytes, gain) =>
+        (-gain, bytes.length, new String(bytes.map(b => (b & 0xff).toChar)))
+      } // deterministic order
+      .take(MaxSymbols)
+      .map(_._1)
+    new SymbolTable(top)
+  }
+
+  def compressWith(table: SymbolTable, data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 16)
+    var pos = 0
+    val n = data.length
+    while (pos < n) {
+      val si = table.findLongest(data, pos, n)
+      if (si >= 0) {
+        out.write(si)
+        pos += table.symbols(si).length
+      } else {
+        out.write(EscapeCode)
+        out.write(data(pos) & 0xff)
+        pos += 1
+      }
+    }
+    out.toByteArray
+  }
+
+  def decompressWith(table: SymbolTable, data: Array[Byte], from: Int,
+                     until: Int, outLen: Int): Array[Byte] = {
+    val out = new Array[Byte](outLen)
+    var pos = from
+    var o = 0
+    while (pos < until) {
+      val code = data(pos) & 0xff
+      pos += 1
+      if (code == EscapeCode) {
+        if (pos >= until) throw TruncatedException
+        if (o >= outLen) throw CorruptException("fsst output overrun")
+        out(o) = data(pos)
+        pos += 1
+        o += 1
+      } else {
+        if (code >= table.symbols.length)
+          throw CorruptException(s"fsst code $code out of table")
+        val s = table.symbols(code)
+        if (o + s.length > outLen) throw CorruptException("fsst output overrun")
+        System.arraycopy(s, 0, out, o, s.length)
+        o += s.length
+      }
+    }
+    if (o != outLen) throw TruncatedException
+    out
+  }
+
+  /** Self-contained framed encode: trains on the data, embeds the table,
+    * falls back to raw if FSST does not win. Never expands beyond
+    * header + rawLen. */
+  def encode(data: Array[Byte]): Array[Byte] = {
+    val table = if (data.length >= 16) train(data) else new SymbolTable(Array.empty)
+    val packed =
+      if (table.symbols.nonEmpty) compressWith(table, data) else null
+    val tableLen =
+      if (packed == null) 0
+      else 1 + table.symbols.map(_.length + 1).sum
+    val useFsst = packed != null && tableLen + packed.length < data.length
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(MagicG); bos.write(MagicS)
+    bos.write(if (useFsst) 1 else 0)
+    writeVarint(bos, data.length.toLong)
+    if (useFsst) {
+      bos.write(table.symbols.length)
+      table.symbols.foreach { s => bos.write(s.length); bos.write(s, 0, s.length) }
+      bos.write(packed, 0, packed.length)
+    } else {
+      bos.write(data, 0, data.length)
+    }
+    val body = bos.toByteArray
+    val crc = new CRC32
+    crc.update(body)
+    val out = java.util.Arrays.copyOf(body, body.length + 4)
+    TokenCodec.writeIntLE(out, body.length, crc.getValue.toInt)
+    out
+  }
+
+  def decode(bytes: Array[Byte]): Array[Byte] = {
+    if (bytes.length < 7) throw TruncatedException
+    if (bytes(0) != MagicG || bytes(1) != MagicS)
+      throw CorruptException("fsst bad magic")
+    val end = bytes.length - 4
+    val crc = new CRC32
+    crc.update(bytes, 0, end)
+    if (crc.getValue.toInt != TokenCodec.readIntLE(bytes, end))
+      throw CorruptException("fsst crc mismatch")
+    val r = new Varint.Reader(bytes, 3, end)
+    val mode = bytes(2)
+    val rawLen = r.read().toInt
+    mode match {
+      case 0 =>
+        if (r.pos + rawLen > end) throw TruncatedException
+        java.util.Arrays.copyOfRange(bytes, r.pos, r.pos + rawLen)
+      case 1 =>
+        if (r.pos >= end) throw TruncatedException
+        val nSym = bytes(r.pos) & 0xff
+        var p = r.pos + 1
+        val symbols = new Array[Array[Byte]](nSym)
+        var i = 0
+        while (i < nSym) {
+          if (p >= end) throw TruncatedException
+          val len = bytes(p) & 0xff
+          p += 1
+          if (p + len > end) throw TruncatedException
+          symbols(i) = java.util.Arrays.copyOfRange(bytes, p, p + len)
+          p += len
+          i += 1
+        }
+        decompressWith(new SymbolTable(symbols), bytes, p, end, rawLen)
+      case m => throw CorruptException(s"fsst mode $m")
+    }
+  }
+
+  private def writeVarint(bos: java.io.ByteArrayOutputStream, v0: Long): Unit = {
+    var v = v0
+    while ((v & ~0x7fL) != 0L) { bos.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+    bos.write(v.toInt)
+  }
+}

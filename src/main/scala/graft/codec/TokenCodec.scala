@@ -1,0 +1,269 @@
+package graft.codec
+
+import java.util.zip.CRC32
+
+/** Codec ids — the engine's analog of the reference's variant dispatch
+  * (`/root/reference/src/pyppmd/__init__.py:62-92` picks Ppmd7 vs Ppmd8;
+  * we pick among five lightweight schemes per chunk). */
+object CodecId {
+  final val Raw: Byte = 0      // 4 bytes LE per token (the "store" floor)
+  final val BitPack: Byte = 1  // frame-of-reference + fixed-width bit-pack
+  final val Rle: Byte = 2      // run-length: (zigzag value, runLen-1) varints
+  final val Dict: Byte = 3     // sorted dict (delta varints) + packed indexes
+  final val Delta: Byte = 4    // zigzag varint deltas (sorted/sawtooth data)
+  val all: Seq[Byte] = Seq(Raw, BitPack, Rle, Dict, Delta)
+  def name(id: Byte): String = id match {
+    case Raw => "raw"; case BitPack => "bitpack"; case Rle => "rle"
+    case Dict => "dict"; case Delta => "delta"; case _ => s"unknown($id)"
+  }
+}
+
+sealed trait DecodeResult
+final case class Decoded(values: Array[Int]) extends DecodeResult
+case object Truncated extends DecodeResult
+final case class Corrupt(reason: String) extends DecodeResult
+
+/** Framed single-vector codec: encode an Array[Int] into self-describing
+  * bytes, decode back bit-identical.
+  *
+  * Framing (deliberately in-band, fixing the reference's out-of-band-params
+  * footgun where decoding with wrong (max_order, mem_size) silently emits
+  * garbage — SURVEY.md §1.1, `/root/reference/src/ext/_ppmdmodule.c:157-174`):
+  *
+  *   [0..1]  magic 'G','T'
+  *   [2]     codec id
+  *   [3..6]  value count, i32 LE
+  *   [7.. ]  codec payload
+  *   [last4] CRC32 of everything before it, i32 LE
+  *
+  * The magic check recasts the reference's leading-frame-byte validation
+  * (`Ppmd7Dec.c:14-15`); CRC mismatch recasts decode result -2 "corrupt"
+  * (`ThreadDecoder.h:17`); short payload recasts result 0 "needs input".
+  */
+object TokenCodec {
+  final val MagicG: Byte = 'G'
+  final val MagicT: Byte = 'T'
+  final val HeaderLen = 7
+  final val CrcLen = 4
+  final val Overhead = HeaderLen + CrcLen
+
+  /** Encode with explicit codec choice. `stats` must come from
+    * ChunkStats.analyze(values) (carries the exact per-codec sizes). */
+  def encode(codec: Byte, values: Array[Int], stats: ChunkStats): Array[Byte] = {
+    val payloadLen = stats.payloadSize(codec)
+    val out = new Array[Byte](Overhead + payloadLen)
+    out(0) = MagicG; out(1) = MagicT; out(2) = codec
+    writeIntLE(out, 3, values.length)
+    val end = codec match {
+      case CodecId.Raw     => encodeRaw(values, out, HeaderLen)
+      case CodecId.BitPack => encodeBitPack(values, stats, out, HeaderLen)
+      case CodecId.Rle     => encodeRle(values, out, HeaderLen)
+      case CodecId.Dict    => encodeDict(values, stats, out, HeaderLen)
+      case CodecId.Delta   => encodeDelta(values, out, HeaderLen)
+      case other => throw new IllegalArgumentException(s"codec $other")
+    }
+    require(end == HeaderLen + payloadLen,
+      s"size model mismatch for ${CodecId.name(codec)}: wrote ${end - HeaderLen}, predicted $payloadLen")
+    val crc = new CRC32
+    crc.update(out, 0, end)
+    writeIntLE(out, end, crc.getValue.toInt)
+    out
+  }
+
+  /** Stats-driven auto-selected encode (the A3 facade analog). */
+  def encodeAuto(values: Array[Int]): Array[Byte] = {
+    val stats = ChunkStats.analyze(values)
+    encode(stats.bestCodec, values, stats)
+  }
+
+  /** Total-function decode: never throws, returns the error taxonomy. */
+  def decode(bytes: Array[Byte]): DecodeResult = {
+    if (bytes == null || bytes.length < Overhead) return Truncated
+    if (bytes(0) != MagicG || bytes(1) != MagicT)
+      return Corrupt("bad magic")
+    val end = bytes.length - CrcLen
+    val crc = new CRC32
+    crc.update(bytes, 0, end)
+    if (crc.getValue.toInt != readIntLE(bytes, end))
+      return Corrupt("crc mismatch")
+    val n = readIntLE(bytes, 3)
+    if (n < 0) return Corrupt("negative count")
+    val codec = bytes(2)
+    try {
+      val out = new Array[Int](n)
+      codec match {
+        case CodecId.Raw     => decodeRaw(bytes, HeaderLen, end, n, out)
+        case CodecId.BitPack => decodeBitPack(bytes, HeaderLen, end, n, out)
+        case CodecId.Rle     => decodeRle(bytes, HeaderLen, end, n, out)
+        case CodecId.Dict    => decodeDict(bytes, HeaderLen, end, n, out)
+        case CodecId.Delta   => decodeDelta(bytes, HeaderLen, end, n, out)
+        case other => return Corrupt(s"unknown codec $other")
+      }
+      Decoded(out)
+    } catch {
+      case TruncatedException => Truncated
+      case CorruptException(m) => Corrupt(m)
+      case _: ArrayIndexOutOfBoundsException => Truncated
+      case _: NegativeArraySizeException => Corrupt("bad length")
+    }
+  }
+
+  /** Strict decode for trusted pipelines: throws on anything but success. */
+  def decodeOrThrow(bytes: Array[Byte]): Array[Int] = decode(bytes) match {
+    case Decoded(v) => v
+    case Truncated  => throw TruncatedException
+    case Corrupt(m) => throw CorruptException(m)
+  }
+
+  // ---- raw ----------------------------------------------------------------
+  private def encodeRaw(v: Array[Int], out: Array[Byte], pos0: Int): Int = {
+    var pos = pos0; var i = 0
+    while (i < v.length) { writeIntLE(out, pos, v(i)); pos += 4; i += 1 }
+    pos
+  }
+  private def decodeRaw(b: Array[Byte], pos0: Int, limit: Int, n: Int,
+                        out: Array[Int]): Unit = {
+    if (pos0 + 4L * n > limit) throw TruncatedException
+    var pos = pos0; var i = 0
+    while (i < n) { out(i) = readIntLE(b, pos); pos += 4; i += 1 }
+  }
+
+  // ---- frame-of-reference + bit-pack --------------------------------------
+  // payload: [base i32 LE][width u8][packed bits]
+  private def encodeBitPack(v: Array[Int], st: ChunkStats,
+                            out: Array[Byte], pos0: Int): Int = {
+    writeIntLE(out, pos0, st.min)
+    out(pos0 + 4) = st.forWidth.toByte
+    BitPacking.pack(v, st.min.toLong, st.forWidth, out, pos0 + 5)
+  }
+  private def decodeBitPack(b: Array[Byte], pos0: Int, limit: Int, n: Int,
+                            out: Array[Int]): Unit = {
+    if (pos0 + 5 > limit) throw TruncatedException
+    val base = readIntLE(b, pos0).toLong
+    val width = b(pos0 + 4) & 0xff
+    if (width > 32) throw CorruptException(s"bitpack width $width")
+    BitPacking.unpack(b, pos0 + 5, limit, n, width, base, out, 0)
+  }
+
+  // ---- run-length ----------------------------------------------------------
+  // payload: per run [zigzag varint value][varint runLen-1]; run count is
+  // implied by the total value count in the header.
+  private def encodeRle(v: Array[Int], out: Array[Byte], pos0: Int): Int = {
+    var pos = pos0
+    var i = 0
+    val n = v.length
+    while (i < n) {
+      val x = v(i)
+      var j = i + 1
+      while (j < n && v(j) == x) j += 1
+      pos = Varint.writeZ(out, pos, x.toLong)
+      pos = Varint.write(out, pos, (j - i - 1).toLong)
+      i = j
+    }
+    pos
+  }
+  private def decodeRle(b: Array[Byte], pos0: Int, limit: Int, n: Int,
+                        out: Array[Int]): Unit = {
+    val r = new Varint.Reader(b, pos0, limit)
+    var i = 0
+    while (i < n) {
+      val x = r.readZ().toInt
+      val run = r.read().toInt + 1
+      if (run <= 0 || i + run > n) throw CorruptException("rle overrun")
+      java.util.Arrays.fill(out, i, i + run, x)
+      i += run
+    }
+  }
+
+  // ---- dictionary ----------------------------------------------------------
+  // payload: [varint card][dict: zigzag varint first, then varint positive
+  // deltas (sorted ascending)][width u8][packed dict indexes]
+  private def encodeDict(v: Array[Int], st: ChunkStats,
+                         out: Array[Byte], pos0: Int): Int = {
+    val dict = st.sortedDistinct
+    val card = dict.length
+    var pos = Varint.write(out, pos0, card.toLong)
+    if (card > 0) {
+      pos = Varint.writeZ(out, pos, dict(0).toLong)
+      var i = 1
+      while (i < card) {
+        pos = Varint.write(out, pos, dict(i).toLong - dict(i - 1).toLong)
+        i += 1
+      }
+    }
+    val width = BitPacking.bitsFor((card - 1).toLong)
+    out(pos) = width.toByte
+    pos += 1
+    // map each value to its dict index via binary search (dict is sorted)
+    val idx = new Array[Int](v.length)
+    var i = 0
+    while (i < v.length) {
+      idx(i) = java.util.Arrays.binarySearch(dict, v(i))
+      i += 1
+    }
+    BitPacking.pack(idx, 0L, width, out, pos)
+  }
+  private def decodeDict(b: Array[Byte], pos0: Int, limit: Int, n: Int,
+                         out: Array[Int]): Unit = {
+    val r = new Varint.Reader(b, pos0, limit)
+    val card = r.read().toInt
+    if (card < 0 || card > ChunkStats.DictCap) throw CorruptException("dict card")
+    val dict = new Array[Int](card)
+    if (card > 0) {
+      dict(0) = r.readZ().toInt
+      var i = 1
+      while (i < card) { dict(i) = dict(i - 1) + r.read().toInt; i += 1 }
+    }
+    if (r.pos >= limit && n > 0) throw TruncatedException
+    val width = b(r.pos) & 0xff
+    if (width > 32) throw CorruptException(s"dict width $width")
+    val idx = new Array[Int](n)
+    BitPacking.unpack(b, r.pos + 1, limit, n, width, 0L, idx, 0)
+    var i = 0
+    while (i < n) {
+      val k = idx(i)
+      if (k < 0 || k >= card) throw CorruptException("dict index out of range")
+      out(i) = dict(k)
+      i += 1
+    }
+  }
+
+  // ---- delta ----------------------------------------------------------------
+  // payload: zigzag varint v0, then zigzag varint (v[i]-v[i-1]) as Long
+  private def encodeDelta(v: Array[Int], out: Array[Byte], pos0: Int): Int = {
+    var pos = pos0
+    if (v.length > 0) {
+      pos = Varint.writeZ(out, pos, v(0).toLong)
+      var i = 1
+      while (i < v.length) {
+        pos = Varint.writeZ(out, pos, v(i).toLong - v(i - 1).toLong)
+        i += 1
+      }
+    }
+    pos
+  }
+  private def decodeDelta(b: Array[Byte], pos0: Int, limit: Int, n: Int,
+                          out: Array[Int]): Unit = {
+    if (n == 0) return
+    val r = new Varint.Reader(b, pos0, limit)
+    var prev = r.readZ()
+    out(0) = prev.toInt
+    var i = 1
+    while (i < n) {
+      prev += r.readZ()
+      out(i) = prev.toInt
+      i += 1
+    }
+  }
+
+  // ---- little-endian helpers -----------------------------------------------
+  def writeIntLE(b: Array[Byte], pos: Int, v: Int): Unit = {
+    b(pos) = v.toByte
+    b(pos + 1) = (v >>> 8).toByte
+    b(pos + 2) = (v >>> 16).toByte
+    b(pos + 3) = (v >>> 24).toByte
+  }
+  def readIntLE(b: Array[Byte], pos: Int): Int =
+    (b(pos) & 0xff) | ((b(pos + 1) & 0xff) << 8) |
+    ((b(pos + 2) & 0xff) << 16) | ((b(pos + 3) & 0xff) << 24)
+}
