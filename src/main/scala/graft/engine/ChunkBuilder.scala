@@ -1,0 +1,167 @@
+package graft.engine
+
+import graft.codec._
+import java.util.zip.CRC32
+
+/** Pure (no Spark) chunk assembly/disassembly: rows -> EncodedChunk -> rows.
+  *
+  * meta blob layout, all sections individually framed + CRC'd:
+  *   [varint lenA][A: TokenCodec(row n_tok values)]
+  *   [varint lenB][B: TokenCodec(per-row source dict index)]
+  *   [varint lenC][C: Fsst(source dictionary: varint count, then per entry
+  *                     varint byteLen + utf8 bytes)]
+  *   [varint lenD][D: Fsst(doc_ids: per row varint byteLen + utf8 bytes)]
+  *
+  * Side columns ride the same machinery as tokens: lengths and dict indexes
+  * go through the stats-driven TokenCodec (they're just int vectors), strings
+  * through FSST — per SURVEY.md §7 module plan.
+  */
+object ChunkBuilder {
+
+  def build(partId: Int, seq: Int, docIds: Array[String],
+            sources: Array[String], tokens: Array[Int],
+            rowLens: Array[Int]): EncodedChunk = {
+    val nRows = docIds.length
+    require(sources.length == nRows && rowLens.length == nRows)
+
+    val payload = TokenCodec.encodeAuto(tokens)
+    val codec = if (payload.length > 2) payload(2) else CodecId.Raw
+
+    // source dictionary (chunk-local, order of first appearance)
+    val srcDict = new java.util.LinkedHashMap[String, Integer]()
+    val srcIdx = new Array[Int](nRows)
+    var i = 0
+    while (i < nRows) {
+      val cur = srcDict.get(sources(i))
+      if (cur != null) srcIdx(i) = cur.intValue()
+      else { srcIdx(i) = srcDict.size(); srcDict.put(sources(i), srcIdx(i)) }
+      i += 1
+    }
+
+    val secA = TokenCodec.encodeAuto(rowLens)
+    val secB = TokenCodec.encodeAuto(srcIdx)
+    val secC = Fsst.encode(packStrings(iterDict(srcDict)))
+    val secD = Fsst.encode(packStrings(docIds))
+
+    val meta = concatSections(secA, secB, secC, secD)
+    val crc = new CRC32
+    crc.update(payload)
+
+    var minDoc = docIds(0); var maxDoc = docIds(0)
+    i = 1
+    while (i < nRows) {
+      if (docIds(i) < minDoc) minDoc = docIds(i)
+      if (docIds(i) > maxDoc) maxDoc = docIds(i)
+      i += 1
+    }
+
+    EncodedChunk(
+      chunk_id = (partId.toLong << 32) | (seq.toLong & 0xffffffffL),
+      part_id = partId, seq = seq, codec = codec.toInt,
+      n_rows = nRows, n_tokens = tokens.length.toLong,
+      raw_bytes = 4L * tokens.length,
+      enc_bytes = payload.length.toLong + meta.length.toLong,
+      crc32 = crc.getValue,
+      min_doc_id = minDoc, max_doc_id = maxDoc,
+      payload = payload, meta = meta)
+  }
+
+  /** Inverse of build. Throws Corrupt/Truncated exceptions on bad framing —
+    * a corrupt chunk fails its Spark task (lineage retries just that chunk,
+    * SURVEY.md §4.2 error taxonomy). */
+  def open(c: EncodedChunk): Iterator[SeqRow] = {
+    val tokens = TokenCodec.decodeOrThrow(c.payload)
+    if (tokens.length.toLong != c.n_tokens)
+      throw CorruptException(s"chunk ${c.chunk_id}: token count mismatch")
+    val sections = splitSections(c.meta, 4)
+    val rowLens = TokenCodec.decodeOrThrow(sections(0))
+    val srcIdx = TokenCodec.decodeOrThrow(sections(1))
+    val srcDict = unpackStrings(Fsst.decode(sections(2)))
+    val docIds = unpackStrings(Fsst.decode(sections(3)))
+    if (rowLens.length != c.n_rows || srcIdx.length != c.n_rows ||
+        docIds.length != c.n_rows)
+      throw CorruptException(s"chunk ${c.chunk_id}: row count mismatch")
+
+    new Iterator[SeqRow] {
+      private var row = 0
+      private var off = 0
+      def hasNext: Boolean = row < c.n_rows
+      def next(): SeqRow = {
+        val len = rowLens(row)
+        if (off + len > tokens.length)
+          throw CorruptException(s"chunk ${c.chunk_id}: row overrun")
+        val toks = java.util.Arrays.copyOfRange(tokens, off, off + len)
+        val si = srcIdx(row)
+        if (si < 0 || si >= srcDict.length)
+          throw CorruptException(s"chunk ${c.chunk_id}: source index")
+        val out = SeqRow(docIds(row), toks, len, srcDict(si))
+        off += len
+        row += 1
+        out
+      }
+    }
+  }
+
+  // ---- string blob helpers --------------------------------------------------
+  private def iterDict(m: java.util.LinkedHashMap[String, Integer]): Array[String] = {
+    val out = new Array[String](m.size())
+    val it = m.entrySet().iterator()
+    while (it.hasNext) { val e = it.next(); out(e.getValue.intValue()) = e.getKey }
+    out
+  }
+
+  def packStrings(ss: Array[String]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    writeVarint(bos, ss.length.toLong)
+    var i = 0
+    while (i < ss.length) {
+      val b = ss(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      writeVarint(bos, b.length.toLong)
+      bos.write(b, 0, b.length)
+      i += 1
+    }
+    bos.toByteArray
+  }
+
+  def unpackStrings(blob: Array[Byte]): Array[String] = {
+    val r = new Varint.Reader(blob)
+    val n = r.read().toInt
+    if (n < 0) throw CorruptException("string blob count")
+    val out = new Array[String](n)
+    var i = 0
+    while (i < n) {
+      val len = r.read().toInt
+      if (len < 0 || r.pos + len > blob.length) throw TruncatedException
+      out(i) = new String(blob, r.pos, len, java.nio.charset.StandardCharsets.UTF_8)
+      r.pos += len
+      i += 1
+    }
+    out
+  }
+
+  private def concatSections(secs: Array[Byte]*): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    secs.foreach { s => writeVarint(bos, s.length.toLong); bos.write(s, 0, s.length) }
+    bos.toByteArray
+  }
+
+  private def splitSections(blob: Array[Byte], n: Int): Array[Array[Byte]] = {
+    val r = new Varint.Reader(blob)
+    val out = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      val len = r.read().toInt
+      if (len < 0 || r.pos + len > blob.length) throw TruncatedException
+      out(i) = java.util.Arrays.copyOfRange(blob, r.pos, r.pos + len)
+      r.pos += len
+      i += 1
+    }
+    out
+  }
+
+  private def writeVarint(bos: java.io.ByteArrayOutputStream, v0: Long): Unit = {
+    var v = v0
+    while ((v & ~0x7fL) != 0L) { bos.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+    bos.write(v.toInt)
+  }
+}

@@ -1,0 +1,142 @@
+package graft.engine
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table-level encode: Dataset[SeqRow] -> Dataset[EncodedChunk].
+  *
+  * Spark-first design (SURVEY.md §3 lifecycle mapping): the plan is
+  * {scan -> range repartition -> sortWithinPartitions -> mapPartitions
+  * chunk-encode}. Catalyst provides pushdown/pruning on the scan; the single
+  * shuffle is the range repartition that (a) co-locates rows of the same
+  * `source` for better per-chunk dictionaries and (b) spreads the skewed hot
+  * source (70% "web" in the corpus) across many partitions because `doc_id`
+  * extends the range key — range partitioning splits a heavy key range where
+  * hash-partitioning on `source` alone would hotspot one task.
+  *
+  * Chunk membership is a pure function of (data order, numPartitions), never
+  * of task scheduling: rows are range-partitioned and sorted before slicing,
+  * so encode at local[1] == encode at local[32] byte-for-byte (the reference's
+  * threaded-decode equivalence, `ThreadDecoder.c:151-191`, recast).
+  */
+object Encoder {
+
+  def encodeTable(ds: Dataset[SeqRow], cfg: EncoderConfig = EncoderConfig())
+      : Dataset[EncodedChunk] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val arranged =
+      if (cfg.numPartitions > 0)
+        ds.repartitionByRange(cfg.numPartitions, col("source"), col("doc_id"))
+          .sortWithinPartitions(col("source"), col("doc_id"))
+      else
+        ds.sortWithinPartitions(col("source"), col("doc_id"))
+    arranged.mapPartitions { it =>
+      chunkIterator(it, TaskContext.getPartitionId(), cfg)
+    }
+  }
+
+  /** Partition slicer: accumulate rows until the token budget, emit a chunk.
+    * At most one partially-filled chunk per partition (the tail). */
+  private[engine] def chunkIterator(rows: Iterator[SeqRow], partId: Int,
+                                    cfg: EncoderConfig): Iterator[EncodedChunk] =
+    new Iterator[EncodedChunk] {
+      private var seqNo = 0
+      def hasNext: Boolean = rows.hasNext
+      def next(): EncodedChunk = {
+        val docIds = scala.collection.mutable.ArrayBuilder.make[String]
+        val sources = scala.collection.mutable.ArrayBuilder.make[String]
+        val lens = scala.collection.mutable.ArrayBuilder.make[Int]
+        var tokens = new Array[Int](math.min(cfg.chunkTokens, 1 << 16))
+        var nTok = 0
+        var nRows = 0
+        while (rows.hasNext && nRows < cfg.maxRowsPerChunk &&
+               (nRows == 0 || nTok < cfg.chunkTokens)) {
+          val r = rows.next()
+          require(r.n_tok == r.tokens.length,
+            s"row ${r.doc_id}: n_tok ${r.n_tok} != tokens.length ${r.tokens.length}")
+          docIds += r.doc_id
+          sources += r.source
+          lens += r.n_tok
+          if (nTok + r.n_tok > tokens.length) {
+            val want = math.max(tokens.length * 2L, nTok.toLong + r.n_tok)
+            tokens = java.util.Arrays.copyOf(tokens,
+              math.min(want, Int.MaxValue - 8).toInt)
+          }
+          System.arraycopy(r.tokens, 0, tokens, nTok, r.n_tok)
+          nTok += r.n_tok
+          nRows += 1
+        }
+        val chunk = ChunkBuilder.build(partId, seqNo, docIds.result(),
+          sources.result(), java.util.Arrays.copyOf(tokens, nTok), lens.result())
+        seqNo += 1
+        chunk
+      }
+    }
+
+  /** Per-source/per-codec compression rollup. Aggregation is over the chunk
+    * table (thousands of rows at 100 TB scale, not trillions) so a plain
+    * groupBy is cheap; the heavy lifting happened map-side inside the chunks. */
+  def report(chunks: Dataset[EncodedChunk]): Dataset[EncodeReport] = {
+    val spark = chunks.sparkSession
+    import spark.implicits._
+    // a chunk can span sources; report keys on the chunk's majority source
+    // via meta would be costly — instead re-derive per source from rows is
+    // overkill; chunks are built after a (source, doc_id) sort so >99% of
+    // chunks are single-source. Use min_doc_id's chunk source proxy: store
+    // exact by decoding sources from meta cheaply.
+    chunks.flatMap { c =>
+      val rows = ChunkBuilder.open(c)
+      val bySource = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
+      rows.foreach { r =>
+        val cur = bySource.getOrElse(r.source, (0L, 0L))
+        bySource.update(r.source, (cur._1 + 1L, cur._2 + r.n_tok))
+      }
+      val codecName = graft.codec.CodecId.name(c.codec.toByte)
+      bySource.iterator.map { case (src, (nr, nt)) =>
+        // attribute chunk bytes proportionally to token share
+        val share = if (c.n_tokens == 0) 0.0 else nt.toDouble / c.n_tokens
+        EncodeReport(src, codecName, 1L, nr, nt,
+          math.round(c.raw_bytes * share), math.round(c.enc_bytes * share))
+      }
+    }.groupBy("source", "codec_name")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum("n_rows").as("n_rows"),
+        sum("n_tokens").as("n_tokens"),
+        sum("raw_bytes").as("raw_bytes"),
+        sum("enc_bytes").as("enc_bytes"))
+      .as[EncodeReport]
+  }
+}
+
+/** Table-level decode: Dataset[EncodedChunk] -> Dataset[SeqRow].
+  * One chunk = one unit of work; Spark schedules chunks across executor
+  * threads — the engine's answer to the reference's dedicated decoder pthread
+  * (`/root/reference/src/lib/buffer/ThreadDecoder.c:98-149`). */
+object Decoder {
+  def decodeTable(chunks: Dataset[EncodedChunk]): Dataset[SeqRow] = {
+    val spark = chunks.sparkSession
+    import spark.implicits._
+    chunks.flatMap(c => ChunkBuilder.open(c))
+  }
+
+  /** Decode with verification against the source table; returns mismatched
+    * doc_ids (empty = bit-identical). Join is on doc_id — broadcast the
+    * decoded side is wrong at scale, so this is a shuffle hash join keyed on
+    * the id, which Spark/AQE handles. */
+  def verifyAgainst(chunks: Dataset[EncodedChunk], original: Dataset[SeqRow])
+      : Dataset[String] = {
+    val spark = chunks.sparkSession
+    import spark.implicits._
+    val decoded = decodeTable(chunks)
+    decoded.joinWith(original, decoded("doc_id") === original("doc_id"), "full_outer")
+      .flatMap { case (d, o) =>
+        if (d == null || o == null) Some(if (d == null) o.doc_id else d.doc_id)
+        else if (d.n_tok != o.n_tok || !d.tokens.sameElements(o.tokens) ||
+                 d.source != o.source) Some(d.doc_id)
+        else None
+      }
+  }
+}
