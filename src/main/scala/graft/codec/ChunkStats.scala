@@ -23,7 +23,8 @@ final case class ChunkStats(
     sortedDistinct: Array[Int], // empty if overflowed
     rlePayload: Int,
     deltaPayload: Int,
-    dictPayload: Int           // Int.MaxValue if overflowed
+    dictPayload: Int,          // Int.MaxValue if overflowed
+    varintPayload: Int
 ) {
   def forWidth: Int =
     if (n == 0) 0 else BitPacking.bitsFor(max.toLong - min.toLong)
@@ -37,6 +38,7 @@ final case class ChunkStats(
     case CodecId.Rle     => rlePayload
     case CodecId.Dict    => dictPayload
     case CodecId.Delta   => deltaPayload
+    case CodecId.VarInt  => varintPayload
   }
 
   /** Deterministic argmin with fixed tie-break preference (fastest decode
@@ -70,12 +72,13 @@ object ChunkStats {
 
   /** Selection preference at equal size (after implicit Raw baseline). */
   private[codec] val preference: Array[Byte] =
-    Array(CodecId.BitPack, CodecId.Rle, CodecId.Dict, CodecId.Delta)
+    Array(CodecId.BitPack, CodecId.Rle, CodecId.Dict, CodecId.VarInt,
+      CodecId.Delta)
 
   def analyze(v: Array[Int]): ChunkStats = {
     val n = v.length
     if (n == 0) // dict payload for card=0: varint(0) + width byte = 2
-      return ChunkStats(0, 0, 0, 0, 0, 0, Array.emptyIntArray, 0, 0, 2)
+      return ChunkStats(0, 0, 0, 0, 0, 0, Array.emptyIntArray, 0, 0, 2, 1)
 
     var min = v(0)
     var max = v(0)
@@ -84,6 +87,8 @@ object ChunkStats {
     var curRun = 1
     var rle = Varint.zlen(v(0).toLong) // first run's value; lengths added below
     var delta = Varint.zlen(v(0).toLong)
+    var ulen = Varint.len(v(0).toLong & 0xffffffffL) // unsigned; valid if min>=0
+    var zlenSum = Varint.zlen(v(0).toLong)
     val set = new IntHashSet(DictCap)
     set.add(v(0))
     var i = 1
@@ -101,6 +106,8 @@ object ChunkStats {
         runCount += 1
       }
       delta += Varint.zlen(x.toLong - v(i - 1).toLong)
+      ulen += Varint.len(x.toLong & 0xffffffffL)
+      zlenSum += Varint.zlen(x.toLong)
       set.add(x)
       i += 1
     }
@@ -123,8 +130,11 @@ object ChunkStats {
       dictPayload = hdr + 1 + BitPacking.packedBytes(n, width)
     }
 
+    // the unsigned sum used `& 0xffffffffL` so it's only meaningful when all
+    // values are non-negative; with negatives the codec flags zigzag mode.
+    val varintPayload = 1 + (if (min >= 0) ulen else zlenSum)
     ChunkStats(n, min, max, runCount, maxRun, card, sorted, rle, delta,
-      dictPayload)
+      dictPayload, varintPayload)
   }
 }
 

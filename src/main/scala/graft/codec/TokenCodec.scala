@@ -11,10 +11,15 @@ object CodecId {
   final val Rle: Byte = 2      // run-length: (zigzag value, runLen-1) varints
   final val Dict: Byte = 3     // sorted dict (delta varints) + packed indexes
   final val Delta: Byte = 4    // zigzag varint deltas (sorted/sawtooth data)
-  val all: Seq[Byte] = Seq(Raw, BitPack, Rle, Dict, Delta)
+  final val Blocks: Byte = 5   // composite: per-block codec selection
+  final val VarInt: Byte = 6   // LEB128 per value (skewed small-value data)
+  /** The flat (non-composite) codecs; Blocks composes these. */
+  val all: Seq[Byte] = Seq(Raw, BitPack, Rle, Dict, Delta, VarInt)
   def name(id: Byte): String = id match {
     case Raw => "raw"; case BitPack => "bitpack"; case Rle => "rle"
-    case Dict => "dict"; case Delta => "delta"; case _ => s"unknown($id)"
+    case Dict => "dict"; case Delta => "delta"; case Blocks => "blocks"
+    case VarInt => "varint"
+    case _ => s"unknown($id)"
   }
 }
 
@@ -60,6 +65,7 @@ object TokenCodec {
       case CodecId.Rle     => encodeRle(values, out, HeaderLen)
       case CodecId.Dict    => encodeDict(values, stats, out, HeaderLen)
       case CodecId.Delta   => encodeDelta(values, out, HeaderLen)
+      case CodecId.VarInt  => encodeVarint(values, stats, out, HeaderLen)
       case other => throw new IllegalArgumentException(s"codec $other")
     }
     require(end == HeaderLen + payloadLen,
@@ -70,10 +76,47 @@ object TokenCodec {
     out
   }
 
-  /** Stats-driven auto-selected encode (the A3 facade analog). */
-  def encodeAuto(values: Array[Int]): Array[Byte] = {
+  /** Stats-driven auto-selected encode (the A3 facade analog). For vectors
+    * spanning multiple miniblocks, compares the best whole-vector codec
+    * against exact per-block selection and takes the smaller. Pass `rowLens`
+    * when the vector is a concatenation of rows — row-aligned blocks are
+    * near-homogeneous and compress best. */
+  def encodeAuto(values: Array[Int]): Array[Byte] =
+    encodeAuto(values, null)
+
+  def encodeAuto(values: Array[Int], rowLens: Array[Int]): Array[Byte] = {
+    if (values.length < BlockCodec.MinTokens) return encodeAutoFlat(values)
+    val splits =
+      if (rowLens != null) BlockCodec.rowSplits(rowLens)
+      else BlockCodec.fixedSplits(values.length)
+    val stats = ChunkStats.analyze(values)
+    val flatBest = stats.payloadSize(stats.bestCodec)
+    if (splits.length > 1) {
+      val blockTotal = BlockCodec.planSize(values, splits)
+      if (blockTotal < flatBest) return encodeBlocks(values, splits, blockTotal)
+    }
+    encode(stats.bestCodec, values, stats)
+  }
+
+  /** Auto-select among the flat codecs only (used for miniblocks). */
+  def encodeAutoFlat(values: Array[Int]): Array[Byte] = {
     val stats = ChunkStats.analyze(values)
     encode(stats.bestCodec, values, stats)
+  }
+
+  private def encodeBlocks(values: Array[Int], splits: Array[Int],
+                           predicted: Int): Array[Byte] = {
+    val payload = BlockCodec.encode(values, splits)
+    require(payload.length == predicted,
+      s"blocks size model mismatch: ${payload.length} vs $predicted")
+    val out = new Array[Byte](Overhead + payload.length)
+    out(0) = MagicG; out(1) = MagicT; out(2) = CodecId.Blocks
+    writeIntLE(out, 3, values.length)
+    System.arraycopy(payload, 0, out, HeaderLen, payload.length)
+    val crc = new CRC32
+    crc.update(out, 0, HeaderLen + payload.length)
+    writeIntLE(out, HeaderLen + payload.length, crc.getValue.toInt)
+    out
   }
 
   /** Total-function decode: never throws, returns the error taxonomy. */
@@ -97,6 +140,8 @@ object TokenCodec {
         case CodecId.Rle     => decodeRle(bytes, HeaderLen, end, n, out)
         case CodecId.Dict    => decodeDict(bytes, HeaderLen, end, n, out)
         case CodecId.Delta   => decodeDelta(bytes, HeaderLen, end, n, out)
+        case CodecId.Blocks  => BlockCodec.decode(bytes, HeaderLen, end, n, out)
+        case CodecId.VarInt  => decodeVarint(bytes, HeaderLen, end, n, out)
         case other => return Corrupt(s"unknown codec $other")
       }
       Decoded(out)
@@ -252,6 +297,35 @@ object TokenCodec {
     while (i < n) {
       prev += r.readZ()
       out(i) = prev.toInt
+      i += 1
+    }
+  }
+
+  // ---- varint-per-value -------------------------------------------------------
+  // payload: [flag u8: 0 = unsigned LEB128 (all values >= 0), 1 = zigzag]
+  private def encodeVarint(v: Array[Int], st: ChunkStats,
+                           out: Array[Byte], pos0: Int): Int = {
+    val unsigned = st.min >= 0
+    out(pos0) = if (unsigned) 0 else 1
+    var pos = pos0 + 1
+    var i = 0
+    while (i < v.length) {
+      pos =
+        if (unsigned) Varint.write(out, pos, v(i).toLong)
+        else Varint.writeZ(out, pos, v(i).toLong)
+      i += 1
+    }
+    pos
+  }
+  private def decodeVarint(b: Array[Byte], pos0: Int, limit: Int, n: Int,
+                           out: Array[Int]): Unit = {
+    if (n == 0) return
+    if (pos0 >= limit) throw TruncatedException
+    val unsigned = b(pos0) == 0
+    val r = new Varint.Reader(b, pos0 + 1, limit)
+    var i = 0
+    while (i < n) {
+      out(i) = if (unsigned) r.read().toInt else r.readZ().toInt
       i += 1
     }
   }

@@ -24,7 +24,7 @@ object ChunkBuilder {
     val nRows = docIds.length
     require(sources.length == nRows && rowLens.length == nRows)
 
-    val payload = TokenCodec.encodeAuto(tokens)
+    val payload = TokenCodec.encodeAuto(tokens, rowLens)
     val codec = if (payload.length > 2) payload(2) else CodecId.Raw
 
     // source dictionary (chunk-local, order of first appearance)
