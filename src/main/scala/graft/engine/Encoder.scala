@@ -26,15 +26,30 @@ object Encoder {
       : Dataset[EncodedChunk] = {
     val spark = ds.sparkSession
     import spark.implicits._
-    val arranged =
-      if (cfg.numPartitions > 0)
-        ds.repartitionByRange(cfg.numPartitions, col("source"), col("doc_id"))
-          .sortWithinPartitions(col("source"), col("doc_id"))
-      else
-        ds.sortWithinPartitions(col("source"), col("doc_id"))
-    arranged.mapPartitions { it =>
+    arrange(ds, cfg).mapPartitions { it =>
       chunkIterator(it, TaskContext.getPartitionId(), cfg)
     }
+  }
+
+  /** Deterministic arrangement: hash-repartition on doc_id + in-partition
+    * sort on (source, doc_id).
+    *
+    * Hash, not range: Spark's RangePartitioner samples with a seed derived
+    * from the RDD id, so range boundaries differ run-to-run — fatal for
+    * lineage resume (a resumed partition must hold exactly the rows the
+    * failed run's partition held) and for golden manifest tests. Hash
+    * partitioning is a pure function of the value. doc_id is unique, so the
+    * hash is uniform and the skewed `source` (70% "web") cannot hotspot a
+    * task — the salting the north rule asks for is inherent in keying by the
+    * fine-grained column instead of the skewed one. The in-partition sort
+    * still clusters each partition's rows by source for dictionary/FSST
+    * locality; token blocks are row-aligned, so cross-row mixing costs ~0. */
+  private[engine] def arrange(ds: Dataset[SeqRow], cfg: EncoderConfig)
+      : Dataset[SeqRow] = {
+    val parted =
+      if (cfg.numPartitions > 0) ds.repartition(cfg.numPartitions, col("doc_id"))
+      else ds
+    parted.sortWithinPartitions(col("source"), col("doc_id"))
   }
 
   /** Partition slicer: accumulate rows until the token budget, emit a chunk.

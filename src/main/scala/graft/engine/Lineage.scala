@@ -1,0 +1,177 @@
+package graft.engine
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.util.SerializableConfiguration
+
+/** Checkpointed per-partition encode with resume — the engine's recast of the
+  * reference's suspended-decoder resumability (the parked worker thread
+  * holding coder state across API calls, `ThreadDecoder.c:65-191`, and
+  * unconsumed-input accounting, `_ppmdmodule.c:424-501`): instead of
+  * suspending a thread, we persist a per-partition manifest atomically and
+  * let a re-run skip completed partitions.
+  *
+  * Layout under `dir` (any Hadoop FileSystem — local fs here, HDFS/S3A on a
+  * real cluster):
+  *   data/part-NNNNN.graft      framed chunks, concatenated:
+  *                              [varint payloadLen][payload][varint metaLen][meta]*
+  *   _lineage/part-NNNNN.json   manifest: one JSON line per chunk
+  *                              (chunk_id codec n_rows n_tokens raw_bytes
+  *                               enc_bytes crc32 offset length min/max doc_id)
+  *
+  * Atomicity: data + manifest are written to `.inprogress` names and renamed;
+  * the manifest rename is the commit point (rename is atomic on HDFS and
+  * POSIX). A partition is "done" iff its manifest exists, so a task killed
+  * mid-write leaves no visible state and re-runs from scratch — per-chunk
+  * CRCs guard the read side.
+  */
+object Lineage {
+
+  final case class ManifestRow(
+      part_id: Int, seq: Int, chunk_id: Long, codec: Int, n_rows: Int,
+      n_tokens: Long, raw_bytes: Long, enc_bytes: Long, crc32: Long,
+      offset: Long, length: Long, min_doc_id: String, max_doc_id: String)
+
+  private def pn(pid: Int): String = f"part-$pid%05d"
+
+  /** Encode `ds` into `dir`. Partitions whose manifest already exists are
+    * skipped (resume). Returns the number of partitions encoded this run. */
+  def encodeToDir(ds: Dataset[SeqRow], dir: String,
+                  cfg: EncoderConfig = EncoderConfig()): Long = {
+    val spark = ds.sparkSession
+    val hconf = new SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val fs0 = FileSystem.get(new java.net.URI(dir), hconf.value)
+    fs0.mkdirs(new Path(s"$dir/data"))
+    fs0.mkdirs(new Path(s"$dir/_lineage"))
+
+    val arranged = Encoder.arrange(ds, cfg) // deterministic across runs
+
+    val done = spark.sparkContext.longAccumulator("partitions_encoded")
+    arranged.foreachPartition { (it: Iterator[SeqRow]) =>
+      val pid = TaskContext.getPartitionId()
+      val fs = FileSystem.get(new java.net.URI(dir), hconf.value)
+      val manifest = new Path(s"$dir/_lineage/${pn(pid)}.json")
+      if (!fs.exists(manifest)) { // resume: skip completed partitions
+        val dataTmp = new Path(s"$dir/data/${pn(pid)}.graft.inprogress")
+        val dataFinal = new Path(s"$dir/data/${pn(pid)}.graft")
+        val out = fs.create(dataTmp, true)
+        val rows = new scala.collection.mutable.ArrayBuffer[ManifestRow]()
+        var offset = 0L
+        Encoder.chunkIterator(it, pid, cfg).foreach { c =>
+          val rec = frameChunk(c)
+          out.write(rec)
+          rows += ManifestRow(c.part_id, c.seq, c.chunk_id, c.codec, c.n_rows,
+            c.n_tokens, c.raw_bytes, c.enc_bytes, c.crc32, offset,
+            rec.length.toLong, c.min_doc_id, c.max_doc_id)
+          offset += rec.length
+        }
+        out.close()
+        // ChecksumFileSystem/HDFS rename does NOT overwrite: clear leftovers
+        // from a run that died between data-rename and manifest-commit.
+        if (fs.exists(dataFinal)) fs.delete(dataFinal, false)
+        if (!fs.rename(dataTmp, dataFinal))
+          throw new java.io.IOException(s"rename failed: $dataTmp -> $dataFinal")
+        val mTmp = new Path(s"$dir/_lineage/${pn(pid)}.json.inprogress")
+        val mOut = fs.create(mTmp, true)
+        rows.foreach { r => mOut.write((manifestJson(r) + "\n").getBytes("UTF-8")) }
+        mOut.close()
+        if (!fs.rename(mTmp, manifest)) // commit point
+          throw new java.io.IOException(s"rename failed: $mTmp -> $manifest")
+        done.add(1L)
+      }
+    }
+    done.value
+  }
+
+  /** Read the manifest (all partitions) as a Dataset. */
+  def readManifest(spark: SparkSession, dir: String): Dataset[ManifestRow] = {
+    import spark.implicits._
+    val fs = FileSystem.get(new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(new Path(s"$dir/_lineage"))
+      .filter(_.getPath.getName.endsWith(".json")).map(_.getPath.toString)
+    spark.read.textFile(files.toIndexedSeq: _*).map(parseManifestLine _)
+  }
+
+  /** Decode a lineage dir back to rows: one task per chunk, seeking to its
+    * manifest offset — selective reads, the analog of length-delimited
+    * chunked decode (`test_ppmd7.py:95-146`). */
+  def decodeFromDir(spark: SparkSession, dir: String): Dataset[SeqRow] = {
+    import spark.implicits._
+    val hconf = new SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    readManifest(spark, dir).flatMap { m =>
+      val fs = FileSystem.get(new java.net.URI(dir), hconf.value)
+      val in = fs.open(new Path(s"$dir/data/${pn(m.part_id)}.graft"))
+      try {
+        in.seek(m.offset)
+        val buf = new Array[Byte](m.length.toInt)
+        in.readFully(buf)
+        ChunkBuilder.open(unframeChunk(buf, m))
+      } finally in.close()
+    }
+  }
+
+  // ---- chunk record framing ---------------------------------------------------
+  private[engine] def frameChunk(c: EncodedChunk): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(
+      c.payload.length + c.meta.length + 16)
+    writeVarint(bos, c.payload.length.toLong)
+    bos.write(c.payload, 0, c.payload.length)
+    writeVarint(bos, c.meta.length.toLong)
+    bos.write(c.meta, 0, c.meta.length)
+    bos.toByteArray
+  }
+
+  private[engine] def unframeChunk(buf: Array[Byte], m: ManifestRow): EncodedChunk = {
+    val r = new graft.codec.Varint.Reader(buf)
+    val pLen = r.read().toInt
+    val payload = java.util.Arrays.copyOfRange(buf, r.pos, r.pos + pLen)
+    r.pos += pLen
+    val mLen = r.read().toInt
+    val meta = java.util.Arrays.copyOfRange(buf, r.pos, r.pos + mLen)
+    EncodedChunk(m.chunk_id, m.part_id, m.seq, m.codec, m.n_rows, m.n_tokens,
+      m.raw_bytes, m.enc_bytes, m.crc32, m.min_doc_id, m.max_doc_id,
+      payload, meta)
+  }
+
+  // ---- tiny JSON (flat schema, no deps) ----------------------------------------
+  private def esc(s: String): String =
+    s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString }
+
+  private def manifestJson(r: ManifestRow): String =
+    s"""{"part_id":${r.part_id},"seq":${r.seq},"chunk_id":${r.chunk_id},""" +
+    s""""codec":${r.codec},"n_rows":${r.n_rows},"n_tokens":${r.n_tokens},""" +
+    s""""raw_bytes":${r.raw_bytes},"enc_bytes":${r.enc_bytes},"crc32":${r.crc32},""" +
+    s""""offset":${r.offset},"length":${r.length},""" +
+    s""""min_doc_id":"${esc(r.min_doc_id)}","max_doc_id":"${esc(r.max_doc_id)}"}"""
+
+  private def parseManifestLine(line: String): ManifestRow = {
+    // flat known-schema JSON: extract with regexes (values are numbers or
+    // escaped strings we produced ourselves)
+    def num(k: String): Long = {
+      val m = s""""$k":(-?\\d+)""".r.findFirstMatchIn(line)
+      m.map(_.group(1).toLong).getOrElse(
+        throw new IllegalArgumentException(s"manifest line missing $k: $line"))
+    }
+    def str(k: String): String = {
+      val m = (s""""$k":"((?:[^"\\\\]|\\\\.)*)"""").r.findFirstMatchIn(line)
+      val raw = m.map(_.group(1)).getOrElse(
+        throw new IllegalArgumentException(s"manifest line missing $k: $line"))
+      raw.replace("\\\"", "\"").replace("\\\\", "\\")
+    }
+    ManifestRow(num("part_id").toInt, num("seq").toInt, num("chunk_id"),
+      num("codec").toInt, num("n_rows").toInt, num("n_tokens"),
+      num("raw_bytes"), num("enc_bytes"), num("crc32"), num("offset"),
+      num("length"), str("min_doc_id"), str("max_doc_id"))
+  }
+
+  private def writeVarint(bos: java.io.ByteArrayOutputStream, v0: Long): Unit = {
+    var v = v0
+    while ((v & ~0x7fL) != 0L) { bos.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+    bos.write(v.toInt)
+  }
+}

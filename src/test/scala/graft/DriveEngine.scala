@@ -30,6 +30,14 @@ object DriveEngine {
       case e: Throwable => println(s"DRIVE4 invariant-violation=caught(${e.getClass.getSimpleName})")
     }
     chunks.unpersist()
+    // lineage: encode to dir, kill one partition's state, resume
+    val dir = java.nio.file.Files.createTempDirectory("drive-lineage").toString
+    val cfg = EncoderConfig(chunkTokens = 1 << 16, numPartitions = 8)
+    val first = Lineage.encodeToDir(ds, dir, cfg)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, "_lineage", "part-00003.json"))
+    val resumed = Lineage.encodeToDir(ds, dir, cfg)
+    val rows = Lineage.decodeFromDir(spark, dir).count()
+    println(s"DRIVE5 lineage first=$first resumed=$resumed decodedRows=$rows")
     spark.stop()
   }
 }
