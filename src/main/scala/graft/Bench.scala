@@ -1,24 +1,85 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.sum
+import graft.engine.{Decoder, Encoder, EncoderConfig}
+import graft.io.Corpus
+import graft.queries.EngineQueries
+
+/** Driver benchmark: headline encode/decode throughput on the deterministic
+  * token corpus plus per-query timings over SPARK_GRAFT_SF_DIR. Prints ONE
+  * JSON line. Reference throughput definition is data_size/mean_seconds
+  * (/root/reference/tests/conftest.py:2-7); ours is tokens/sec over wall
+  * time of the materialized encode/decode. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.driver.host", "localhost")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    import spark.implicits._
+
+    def time[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // JIT warmup so the timed runs measure steady-state kernels, matching
+    // pytest-benchmark's warmup semantics (reference conftest.py)
+    {
+      val warm = Corpus.table(spark, 500, partitions = cpus.toInt)
+      val wc = Encoder.encodeTable(warm,
+        EncoderConfig(chunkTokens = 1 << 18, numPartitions = cpus.toInt)).cache()
+      wc.count()
+      Decoder.decodeTable(wc).count()
+      wc.unpersist()
+    }
+
+    // headline: encode + decode throughput on the synthetic corpus at the
+    // sf-scaled row count
+    val nRows = EngineQueries.rowsForDir(sfDir)
+    val parts = cpus.toInt * 4 // >= 4x cores tasks, SURVEY.md risk register
+    val corpus = Corpus.table(spark, nRows, partitions = parts)
+      .cache()
+    val nTokens = corpus.map(_.n_tok.toLong).reduce(_ + _) // force cache
+    val cfg = EncoderConfig(chunkTokens = 1 << 20, numPartitions = parts)
+
+    val (chunks, tEnc) = time {
+      val c = Encoder.encodeTable(corpus, cfg).cache()
+      c.count()
+      c
+    }
+    val encBytes = chunks.agg(sum("enc_bytes")).as[Long].first()
+    val rawBytes = chunks.agg(sum("raw_bytes")).as[Long].first()
+    val (decTokens, tDec) = time {
+      Decoder.decodeTable(chunks).map(_.n_tok.toLong).reduce(_ + _)
+    }
+    require(decTokens == nTokens, s"decode token count $decTokens != $nTokens")
+    corpus.unpersist()
+    chunks.unpersist()
+
+    // per-query timings (the driver's comparison set)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val (_, sec) = time {
+        try fn(spark, sfDir).count()
+        catch { case _: Throwable => -1L }
+      }
+      name -> sec
+    }
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum + tEnc + tDec
+    val encTps = (nTokens / tEnc).toLong
+    val decTps = (nTokens / tDec).toLong
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","encode_tokens_per_sec":$encTps,"decode_tokens_per_sec":$decTps,"encode_sec":$tEnc%.3f,"decode_sec":$tDec%.3f,"corpus_rows":$nRows,"corpus_tokens":$nTokens,"raw_bytes":$rawBytes,"enc_bytes":$encBytes,"compression_ratio":${encBytes.toDouble / rawBytes}%.4f,"cpus":$cpus}""")
     spark.stop()
   }
 }

@@ -1,13 +1,78 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` spans three families:
+  *  - engine operators (encode/decode/roundtrip/lineage; SURVEY.md §2
+  *    Table A) — not SQL-expressible, rows-only check + ScalaTest suite;
+  *  - relational coverage (Table B) — each with a DuckDB-ANSI oracle twin;
+  *  - training-pipeline operators (dedup / similarity / text / multimodal)
+  *    — oracled where exactly expressible in both dialects.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001: full corpus->encode->decode->verify rollup;
+    * driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    EngineQueries.encodeRoundtrip(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // engine operators (rows-only)
+    "encode_roundtrip" -> (EngineQueries.encodeRoundtrip _),
+    "encode_docs" -> (EngineQueries.encodeDocs _),
+    "codec_histogram" -> (EngineQueries.codecHistogram _),
+    "lineage_roundtrip" -> (EngineQueries.lineageRoundtrip _),
+    // relational coverage (oracled)
+    "q1_agg" -> (RelationalQueries.q1Agg _),
+    "q2_join_agg" -> (RelationalQueries.q2JoinAgg _),
+    "q3_broadcast_join" -> (RelationalQueries.q3BroadcastJoin _),
+    "q4_window" -> (RelationalQueries.q4Window _),
+    "q5_topk" -> (RelationalQueries.q5TopK _),
+    "q6_distinct" -> (RelationalQueries.q6Distinct _),
+    "q7_setop" -> (RelationalQueries.q7SetOp _),
+    "q8_semi_anti" -> (RelationalQueries.q8SemiAnti _),
+    "q9_scalar_fns" -> (RelationalQueries.q9ScalarFns _),
+    "q10_rollup" -> (RelationalQueries.q10Rollup _),
+    "q11_time_window" -> (RelationalQueries.q11TimeWindow _),
+    // text pipeline
+    "doc_token_count" -> (TextQueries.tokenCount _),
+    "doc_quality" -> (TextQueries.qualityScore _),
+    "doc_langid" -> (TextQueries.langId _),
+    "doc_fingerprint" -> (TextQueries.fingerprint _),
+    // dedup pipeline
+    "dedup_exact" -> (DedupQueries.dedupExact _),
+    "dedup_minhash" -> (DedupQueries.dedupMinhash _),
+    "dedup_simhash" -> (DedupQueries.dedupSimhash _),
+    "dedup_tokens" -> (DedupQueries.dedupTokens _),
+    // similarity search
+    "ann_bruteforce" -> (AnnQueries.annBruteForce _),
+    "ann_lsh" -> (AnnQueries.annLsh _),
+    "dedup_embedding" -> (AnnQueries.dedupEmbedding _),
+    // multimodal plumbing
+    "multimodal_features" -> (MultimodalQueries.multimodalFeatures _),
+  )
+
+  /** DuckDB-ANSI oracle twins (same column names/order as the Spark side;
+    * tables resolve to the sfDir parquet files). Engine/sketch queries are
+    * deliberately absent (not SQL-expressible) -> rows-only check. */
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" -> RelationalQueries.q1Sql,
+    "q2_join_agg" -> RelationalQueries.q2Sql,
+    "q3_broadcast_join" -> RelationalQueries.q3Sql,
+    "q4_window" -> RelationalQueries.q4Sql,
+    "q5_topk" -> RelationalQueries.q5Sql,
+    "q6_distinct" -> RelationalQueries.q6Sql,
+    "q7_setop" -> RelationalQueries.q7Sql,
+    "q8_semi_anti" -> RelationalQueries.q8Sql,
+    "q9_scalar_fns" -> RelationalQueries.q9Sql,
+    "q10_rollup" -> RelationalQueries.q10Sql,
+    "q11_time_window" -> RelationalQueries.q11Sql,
+    "doc_token_count" -> TextQueries.tokenCountSql,
+    "doc_quality" -> TextQueries.qualityScoreSql,
+    "dedup_exact" -> DedupQueries.dedupExactSql,
+    "ann_bruteforce" -> AnnQueries.annBruteForceSql,
+  )
 }

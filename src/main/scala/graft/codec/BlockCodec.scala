@@ -46,23 +46,6 @@ object BlockCodec {
     out.result()
   }
 
-  /** Exact total payload size if encoded block-wise under `splits`. */
-  def planSize(values: Array[Int], splits: Array[Int]): Int = {
-    var total = Varint.len(splits.length.toLong)
-    var from = 0
-    var b = 0
-    while (b < splits.length) {
-      val until = splits(b)
-      val slice = java.util.Arrays.copyOfRange(values, from, until)
-      val st = ChunkStats.analyze(slice)
-      val framedLen = TokenCodec.Overhead + st.payloadSize(st.bestCodec)
-      total += Varint.len(framedLen.toLong) + framedLen
-      from = until
-      b += 1
-    }
-    total
-  }
-
   def encode(values: Array[Int], splits: Array[Int]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream(values.length + 64)
     writeVarint(bos, splits.length.toLong)

@@ -89,7 +89,10 @@ object ChunkStats {
     var delta = Varint.zlen(v(0).toLong)
     var ulen = Varint.len(v(0).toLong & 0xffffffffL) // unsigned; valid if min>=0
     var zlenSum = Varint.zlen(v(0).toLong)
-    val set = new IntHashSet(DictCap)
+    // capacity: a vector of n values has at most n distinct — sizing the set
+    // to min(n, DictCap) keeps small-block analysis allocation-light (the
+    // fixed 2^17-slot table cost 512KB of zeroing per 256-token block).
+    val set = new IntHashSet(math.min(n, DictCap))
     set.add(v(0))
     var i = 1
     while (i < n) {
@@ -149,6 +152,7 @@ private[codec] final class IntHashSet(cap: Int) {
 
   def size: Int = count
 
+  /** overflow threshold is the requested cap, not table capacity */
   def add(x: Int): Unit = {
     if (overflowed) return
     if (x == 0) {

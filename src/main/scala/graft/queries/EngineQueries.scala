@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine._
+import graft.io.Corpus
+
+/** The engine's own operators exposed as driver queries (SURVEY.md §2
+  * Table A): whole-table encode, decode, roundtrip verification, codec
+  * selection histogram. Not SQL-expressible — covered by the rows-only
+  * check plus the family-A ScalaTest suite (FIXTURES.md). */
+object EngineQueries {
+
+  /** Corpus rows scale with the testdata scale factor: sf0.001 -> 500,
+    * sf0.01 -> 5,000, sf0.1 -> 50,000 (FIXTURES.md scales). */
+  def rowsForDir(dir: String): Long = {
+    val m = """sf([0-9.]+)""".r.findFirstMatchIn(dir)
+    m.map(g => math.max(200L, (g.group(1).toDouble * 500000).toLong))
+      .getOrElse(2000L)
+  }
+
+  private def cfgFor(s: SparkSession): EncoderConfig =
+    EncoderConfig(chunkTokens = 1 << 18,
+      numPartitions = s.sparkContext.defaultParallelism)
+
+  /** Full pipeline: synthesize corpus -> encode -> decode -> verify ->
+    * per-source rollup with roundtrip mismatch count (must be 0). */
+  def encodeRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ds = Corpus.table(s, rowsForDir(dir),
+      partitions = s.sparkContext.defaultParallelism).cache()
+    val chunks = Encoder.encodeTable(ds, cfgFor(s)).cache()
+    val rep = Encoder.report(chunks)
+      .groupBy(col("source"))
+      .agg(sum("n_rows").as("n_rows"), sum("n_tokens").as("n_tokens"),
+        sum("raw_bytes").as("raw_bytes"), sum("enc_bytes").as("enc_bytes"))
+    val mism = Decoder.verifyAgainst(chunks, ds)
+      .toDF("doc_id")
+      .agg(count(lit(1)).as("mismatches"))
+    val out = rep
+      .withColumn("ratio", round(col("enc_bytes") / col("raw_bytes"), 4))
+      .crossJoin(broadcast(mism))
+      .orderBy(col("source"))
+    out
+  }
+
+  /** Codec-selection histogram over the encoded chunk table. */
+  def codecHistogram(s: SparkSession, dir: String): DataFrame = {
+    val ds = Corpus.table(s, rowsForDir(dir),
+      partitions = s.sparkContext.defaultParallelism)
+    val chunks = Encoder.encodeTable(ds, cfgFor(s))
+    import s.implicits._
+    chunks.groupByKey(c => graft.codec.CodecId.name(c.codec.toByte))
+      .agg(count(lit(1)).as("n_chunks").as[Long],
+        sum("n_tokens").as("n_tokens").as[Long],
+        sum("enc_bytes").as("enc_bytes").as[Long])
+      .toDF("codec", "n_chunks", "n_tokens", "enc_bytes")
+      .orderBy(col("codec"))
+  }
+
+  /** Encode the driver's documents table: deterministic whitespace+hash
+    * tokenizer -> SeqRow -> encode -> decode -> verify; per-source summary.
+    * Exercises the engine against non-synthetic data. */
+  def encodeDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").cast("string").as("doc_id"), col("text"),
+        col("source"))
+      .as[(String, String, String)]
+      .map { case (id, text, src) =>
+        val toks = Tokenize.wordIds(text)
+        SeqRow(id, toks, toks.length, src)
+      }.cache()
+    val chunks = Encoder.encodeTable(docs,
+      EncoderConfig(chunkTokens = 1 << 16, numPartitions = 4)).cache()
+    val mism = Decoder.verifyAgainst(chunks, docs)
+      .toDF("doc_id").agg(count(lit(1)).as("mismatches"))
+    chunks.groupBy()
+      .agg(count(lit(1)).as("n_chunks"), sum("n_rows").as("n_rows"),
+        sum("n_tokens").as("n_tokens"), sum("raw_bytes").as("raw_bytes"),
+        sum("enc_bytes").as("enc_bytes"))
+      .withColumn("ratio", round(col("enc_bytes") / col("raw_bytes"), 4))
+      .crossJoin(broadcast(mism))
+  }
+
+  /** Lineage roundtrip as a query: encode to a scratch dir, resume (no-op),
+    * decode back, report counts — the A22 unconsumed-input analog. */
+  def lineageRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n = math.min(rowsForDir(dir), 5000L)
+    val ds = Corpus.table(s, n, partitions = 4)
+    val out = java.nio.file.Files.createTempDirectory("graft-lineage-q").toString
+    val cfg = EncoderConfig(chunkTokens = 1 << 17, numPartitions = 4)
+    val first = Lineage.encodeToDir(ds, out, cfg)
+    val resumed = Lineage.encodeToDir(ds, out, cfg) // must skip everything
+    val decoded = Lineage.decodeFromDir(s, out).count()
+    val manifest = Lineage.readManifest(s, out)
+    manifest.agg(
+        count(lit(1)).as("n_chunks"),
+        sum("n_tokens").as("n_tokens"),
+        sum("enc_bytes").as("enc_bytes"))
+      .withColumn("partitions_first_run", lit(first))
+      .withColumn("partitions_resumed_run", lit(resumed))
+      .withColumn("decoded_rows", lit(decoded))
+      .withColumn("expected_rows", lit(n))
+  }
+}
+
+/** Deterministic toy tokenizer (whitespace split, stable JVM string hash
+  * into the vocab) — stands in for BPE; the engine only needs *a* fixed
+  * token domain. */
+object Tokenize {
+  def wordIds(text: String): Array[Int] = {
+    val words = text.split("\\s+").filter(_.nonEmpty)
+    if (words.isEmpty) Array(0)
+    else words.map(w => (w.hashCode & 0x7fffffff) % Corpus.V)
+  }
+}

@@ -1,0 +1,227 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational operator coverage (SURVEY.md §2 Table B) over the driver's
+  * TPC-H-ish parquet tables, each with a DuckDB-ANSI oracle twin in
+  * [[graft.SparkEntry.oracleSql]].
+  *
+  * Conventions for oracle parity: every computed column aliased identically
+  * on both sides; doubles rounded to 2 decimals (ulp-level accumulation
+  * order differs between engines); timestamps cast to DATE strings; every
+  * result deterministically ordered.
+  *
+  * Scale notes (100 TB thinking): aggregations are partial+final (map-side
+  * combine free via Catalyst); the dimension joins broadcast the small side
+  * explicitly; filters/projections sit directly on the scan so parquet
+  * pushdown + column pruning apply. */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** q1: wide aggregation with multiple agg functions (TPC-H Q1 shape). */
+  def q1Agg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_quantity") > lit(0))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  val q1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |  round(avg(l_discount), 4) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem WHERE l_quantity > 0
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** q2: multi-way join orders->customer->nation with broadcast dims. */
+  def q2JoinAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy(col("n_name"))
+
+  val q2Sql: String =
+    """SELECT n_name, count(*) AS n_orders,
+      |  round(sum(o_totalprice), 2) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** q3: broadcast join fact->dim + filter pushdown to the parquet scan. */
+  def q3BroadcastJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_discount") > lit(0.02))
+      .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("p_brand"))
+
+  val q3Sql: String =
+    """SELECT p_brand, round(sum(l_quantity), 2) AS sum_qty,
+      |  count(*) AS n_lines
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_discount > 0.02
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  /** q4: window functions — rank within partition + running aggregate. */
+  def q4Window(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    t(s, dir, "lineitem")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("running_qty",
+        round(sum(col("l_quantity")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
+      .filter(col("rn") <= lit(5))
+      .select(col("l_suppkey"), col("rn"), col("l_orderkey"),
+        col("running_qty"))
+      .orderBy(col("l_suppkey"), col("rn"))
+  }
+
+  val q4Sql: String =
+    """SELECT l_suppkey, rn, l_orderkey, running_qty FROM (
+      |  SELECT l_suppkey, l_orderkey,
+      |    row_number() OVER w AS rn,
+      |    round(sum(l_quantity) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+      |      AND CURRENT ROW), 2) AS running_qty
+      |  FROM lineitem
+      |  WINDOW w AS (PARTITION BY l_suppkey
+      |               ORDER BY l_shipdate, l_orderkey, l_linenumber)
+      |) WHERE rn <= 5 ORDER BY l_suppkey, rn""".stripMargin
+
+  /** q5: top-k (global sort + limit). */
+  def q5TopK(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  val q5Sql: String =
+    """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+
+  /** q6: exact distinct aggregation. */
+  def q6Distinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"))
+      .orderBy(col("l_returnflag"))
+
+  val q6Sql: String =
+    """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+      |  count(DISTINCT l_suppkey) AS n_supps
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** q7: set operation — custkeys with orders minus custkeys with an 'F'
+    * order (EXCEPT). */
+  def q7SetOp(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.select(col("o_custkey"))
+      .except(o.filter(col("o_orderstatus") === lit("F")).select(col("o_custkey")))
+      .orderBy(col("o_custkey"))
+  }
+
+  val q7Sql: String =
+    """SELECT o_custkey FROM orders
+      |EXCEPT
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |ORDER BY o_custkey""".stripMargin
+
+  /** q8: semi + anti joins (EXISTS / NOT EXISTS) summarized. */
+  def q8SemiAnti(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    val withOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("with_orders"))
+    val withoutOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .agg(count(lit(1)).as("without_orders"))
+    withOrders.crossJoin(withoutOrders)
+  }
+
+  val q8Sql: String =
+    """SELECT
+      |  (SELECT count(*) FROM customer
+      |    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey))
+      |    AS with_orders,
+      |  (SELECT count(*) FROM customer
+      |    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey))
+      |    AS without_orders""".stripMargin
+
+  /** q9: scalar functions — string/date/math over events. */
+  def q9ScalarFns(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(
+        upper(col("event_type")).as("etype"),
+        to_date(col("ts")).cast("string").as("day"),
+        col("value"))
+      .groupBy(col("etype"), col("day"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(abs(col("value"))), 2).as("sum_abs"),
+        round(max(sqrt(abs(col("value")))), 4).as("max_sqrt"))
+      .orderBy(col("etype"), col("day"))
+
+  val q9Sql: String =
+    """SELECT upper(event_type) AS etype,
+      |  CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+      |  count(*) AS n,
+      |  round(sum(abs(value)), 2) AS sum_abs,
+      |  round(max(sqrt(abs(value))), 4) AS max_sqrt
+      |FROM events GROUP BY 1, 2 ORDER BY etype, day""".stripMargin
+
+  /** q10: rollup (hierarchical grouping sets). */
+  def q10Rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  val q10Sql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      |  round(sum(o_totalprice), 2) AS total
+      |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  /** q11: tumbling-window time aggregation (batch form of the streaming
+    * windowed count; Structured Streaming path reuses this shape). */
+  def q11TimeWindow(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(date_trunc("hour", col("ts")).cast("string").as("hour"),
+        col("event_type"), col("user_id"))
+      .groupBy(col("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("hour"), col("event_type"))
+
+  val q11Sql: String =
+    """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour,
+      |  event_type, count(*) AS n, count(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+}

@@ -1,0 +1,129 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over the driver's
+  * `documents` table: token counting, quality scoring, language-ID,
+  * fingerprinting. Oracle-SQL twins exist where the computation is exactly
+  * expressible in both dialects (length/replace arithmetic only — regex
+  * dialects diverge); the rest are rows-only. */
+object TextQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** Whitespace token count via pure length arithmetic (dialect-safe). */
+  def tokenCount(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      col("n_chars"),
+      (length(col("text")) - length(regexp_replace(col("text"), lit(" "), lit("")))
+        + lit(1)).cast("long").as("ws_tokens"))
+      .orderBy(col("doc_id"))
+
+  val tokenCountSql: String =
+    """SELECT doc_id, n_chars,
+      |  CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+      |    AS ws_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Quality scoring: word stats + a bounded score, exact in both engines. */
+  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    val spaces = length(col("text")) -
+      length(regexp_replace(col("text"), lit(" "), lit("")))
+    val words = spaces + lit(1)
+    docs(s, dir).select(
+      col("doc_id"),
+      words.cast("long").as("n_words"),
+      round((length(col("text")) - spaces).cast("double") / words, 3)
+        .as("avg_word_len"),
+      (col("n_chars") < lit(200)).as("short_doc"),
+      round(least(words.cast("double") / lit(100.0), lit(1.0)), 4)
+        .as("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qualityScoreSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, n_chars, text,
+      |    length(text) - length(replace(text, ' ', '')) AS spaces
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(spaces + 1 AS BIGINT) AS n_words,
+      |  round(CAST(length(text) - spaces AS DOUBLE) / (spaces + 1), 3)
+      |    AS avg_word_len,
+      |  n_chars < 200 AS short_doc,
+      |  round(least(CAST(spaces + 1 AS DOUBLE) / 100.0, 1.0), 4)
+      |    AS quality_score
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  /** Language-ID: deterministic char-bigram profile scoring (n-gram
+    * heuristic). The driver corpus's lang labels are independent of content
+    * (same vocabulary for every lang), so accuracy is chance — the operator
+    * and its distributed shape are what matter. Rows-only (not SQL). */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir).select(col("lang"), col("text")).as[(String, String)]
+      .map { case (lang, text) => (lang, LangId.predict(text)) }
+      .toDF("lang", "predicted")
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("predicted"))
+  }
+
+  /** Document fingerprinting: 64-bit polynomial rolling hash of the text
+    * (content-defined identity for dedup lineage). Rows-only. */
+  def fingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) => (id, LangId.rollingHash(text), text.length) }
+      .toDF("doc_id", "fingerprint", "n_chars")
+      .orderBy(col("doc_id"))
+  }
+}
+
+/** Deterministic text kernels (no Spark deps). */
+object LangId {
+  private val langs = Array("en", "fr", "de", "es", "zh")
+
+  /** Char-bigram profile score: each language gets a deterministic random
+    * projection over bigram hashes; argmax wins. Stable across JVMs. */
+  def predict(text: String): String = {
+    val scores = new Array[Double](langs.length)
+    var i = 0
+    val n = math.min(text.length, 512)
+    while (i < n - 1) {
+      val bg = (text.charAt(i).toInt << 16) | text.charAt(i + 1).toInt
+      var l = 0
+      while (l < langs.length) {
+        // splitmix of (bigram, lang) -> pseudo-weight in [-1, 1)
+        var z = bg.toLong ^ (l.toLong * 0x9E3779B97F4A7C15L)
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z ^= z >>> 31
+        scores(l) += (z >> 11).toDouble * 1.1102230246251565e-16
+        l += 1
+      }
+      i += 2
+    }
+    var best = 0
+    var l = 1
+    while (l < langs.length) {
+      if (scores(l) > scores(best)) best = l
+      l += 1
+    }
+    langs(best)
+  }
+
+  /** 64-bit polynomial rolling hash, base 1099511628211 (FNV prime). */
+  def rollingHash(text: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < text.length) {
+      h = (h ^ text.charAt(i).toLong) * 1099511628211L
+      i += 1
+    }
+    h
+  }
+}
