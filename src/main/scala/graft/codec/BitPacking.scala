@@ -17,16 +17,21 @@ object BitPacking {
   def packedBytes(n: Int, width: Int): Int =
     (((n.toLong * width) + 7) / 8).toInt
 
-  /** Pack values(i) - base into buf starting at pos0, width bits each.
-    * Values must satisfy 0 <= v - base < 2^width. Returns end position. */
   def pack(values: Array[Int], base: Long, width: Int,
+           buf: Array[Byte], pos0: Int): Int =
+    pack(values, 0, values.length, base, width, buf, pos0)
+
+  /** Pack values(i) - base for i in [from, until) into buf starting at pos0,
+    * width bits each. Values must satisfy 0 <= v - base < 2^width. Returns
+    * end position. */
+  def pack(values: Array[Int], from: Int, until: Int, base: Long, width: Int,
            buf: Array[Byte], pos0: Int): Int = {
     if (width == 0) return pos0
     var acc = 0L      // bits accumulated, LSB-first
     var nbits = 0
     var pos = pos0
-    var i = 0
-    val n = values.length
+    var i = from
+    val n = until
     while (i < n) {
       val v = (values(i).toLong - base) & ((1L << width) - 1 | (if (width == 64) -1L else 0L))
       acc |= v << nbits

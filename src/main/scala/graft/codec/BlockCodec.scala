@@ -16,6 +16,7 @@ package graft.codec
   * Payload: [varint nBlocks][per block: varint byteLen + full TokenCodec
   * frame of that block]. Inner frames carry their own CRC; the outer frame's
   * CRC covers everything. Blocks never nest (inner codecs are flat).
+  * Encode works on slices of the chunk vector — no per-block copies.
   */
 object BlockCodec {
   final val BlockLen = 4096   // fixed-split fallback granularity
@@ -47,20 +48,35 @@ object BlockCodec {
   }
 
   def encode(values: Array[Int], splits: Array[Int]): Array[Byte] = {
-    val bos = new java.io.ByteArrayOutputStream(values.length + 64)
-    writeVarint(bos, splits.length.toLong)
+    val nBlocks = splits.length
+    // per-block stats pass gives exact framed lengths -> single allocation
+    val stats = new Array[ChunkStats](nBlocks)
+    var total = Varint.len(nBlocks.toLong)
     var from = 0
     var b = 0
-    while (b < splits.length) {
-      val until = splits(b)
-      val slice = java.util.Arrays.copyOfRange(values, from, until)
-      val framed = TokenCodec.encodeAutoFlat(slice)
-      writeVarint(bos, framed.length.toLong)
-      bos.write(framed, 0, framed.length)
-      from = until
+    while (b < nBlocks) {
+      val st = ChunkStats.analyze(values, from, splits(b))
+      stats(b) = st
+      val framedLen = TokenCodec.Overhead + st.payloadSize(st.bestCodec)
+      total += Varint.len(framedLen.toLong) + framedLen
+      from = splits(b)
       b += 1
     }
-    bos.toByteArray
+    val out = new Array[Byte](total)
+    var pos = Varint.write(out, 0, nBlocks.toLong)
+    from = 0
+    b = 0
+    while (b < nBlocks) {
+      val st = stats(b)
+      val framedLen = TokenCodec.Overhead + st.payloadSize(st.bestCodec)
+      pos = Varint.write(out, pos, framedLen.toLong)
+      pos = TokenCodec.encodeInto(st.bestCodec, values, from, splits(b), st,
+        out, pos)
+      from = splits(b)
+      b += 1
+    }
+    require(pos == total, s"blocks size model mismatch: $pos vs $total")
+    out
   }
 
   def decode(buf: Array[Byte], pos0: Int, limit: Int, n: Int,
@@ -73,20 +89,24 @@ object BlockCodec {
     while (b < nBlocks) {
       val len = r.read().toInt
       if (len < 0 || r.pos + len > limit) throw TruncatedException
-      val framed = java.util.Arrays.copyOfRange(buf, r.pos, r.pos + len)
+      // decode the inner frame in place (no copy); header validated minimally
+      // (outer CRC already covered these bytes)
+      if (len < TokenCodec.Overhead) throw TruncatedException
+      val p = r.pos
+      if (buf(p) != TokenCodec.MagicG || buf(p + 1) != TokenCodec.MagicT)
+        throw CorruptException("block magic")
+      val bn = TokenCodec.readIntLE(buf, p + 3)
+      if (bn < 0 || o + bn > n) throw CorruptException("block overrun")
+      val codec = buf(p + 2)
+      if (codec == CodecId.Blocks) throw CorruptException("nested blocks")
+      val inner = new Array[Int](bn)
+      TokenCodec.decodeBody(codec, buf, p + TokenCodec.HeaderLen,
+        p + len - TokenCodec.CrcLen, bn, inner)
+      System.arraycopy(inner, 0, out, o, bn)
+      o += bn
       r.pos += len
-      val vals = TokenCodec.decodeOrThrow(framed)
-      if (o + vals.length > n) throw CorruptException("block overrun")
-      System.arraycopy(vals, 0, out, o, vals.length)
-      o += vals.length
       b += 1
     }
     if (o != n) throw CorruptException(s"block underrun: $o of $n")
-  }
-
-  private def writeVarint(bos: java.io.ByteArrayOutputStream, v0: Long): Unit = {
-    var v = v0
-    while ((v & ~0x7fL) != 0L) { bos.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
-    bos.write(v.toInt)
   }
 }

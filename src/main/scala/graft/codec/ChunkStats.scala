@@ -75,27 +75,30 @@ object ChunkStats {
     Array(CodecId.BitPack, CodecId.Rle, CodecId.Dict, CodecId.VarInt,
       CodecId.Delta)
 
-  def analyze(v: Array[Int]): ChunkStats = {
-    val n = v.length
+  def analyze(v: Array[Int]): ChunkStats = analyze(v, 0, v.length)
+
+  /** Single-pass analysis of the slice [from, until). */
+  def analyze(v: Array[Int], from: Int, until: Int): ChunkStats = {
+    val n = until - from
     if (n == 0) // dict payload for card=0: varint(0) + width byte = 2
       return ChunkStats(0, 0, 0, 0, 0, 0, Array.emptyIntArray, 0, 0, 2, 1)
 
-    var min = v(0)
-    var max = v(0)
+    var min = v(from)
+    var max = v(from)
     var runCount = 1
     var maxRun = 1
     var curRun = 1
-    var rle = Varint.zlen(v(0).toLong) // first run's value; lengths added below
-    var delta = Varint.zlen(v(0).toLong)
-    var ulen = Varint.len(v(0).toLong & 0xffffffffL) // unsigned; valid if min>=0
-    var zlenSum = Varint.zlen(v(0).toLong)
+    var rle = Varint.zlen(v(from).toLong) // first run's value; lengths added below
+    var delta = Varint.zlen(v(from).toLong)
+    var ulen = Varint.len(v(from).toLong & 0xffffffffL) // unsigned; valid if min>=0
+    var zlenSum = Varint.zlen(v(from).toLong)
     // capacity: a vector of n values has at most n distinct — sizing the set
     // to min(n, DictCap) keeps small-block analysis allocation-light (the
     // fixed 2^17-slot table cost 512KB of zeroing per 256-token block).
     val set = new IntHashSet(math.min(n, DictCap))
-    set.add(v(0))
-    var i = 1
-    while (i < n) {
+    set.add(v(from))
+    var i = from + 1
+    while (i < until) {
       val x = v(i)
       if (x < min) min = x
       if (x > max) max = x

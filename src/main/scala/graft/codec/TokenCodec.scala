@@ -4,7 +4,7 @@ import java.util.zip.CRC32
 
 /** Codec ids — the engine's analog of the reference's variant dispatch
   * (`/root/reference/src/pyppmd/__init__.py:62-92` picks Ppmd7 vs Ppmd8;
-  * we pick among five lightweight schemes per chunk). */
+  * we pick among six lightweight schemes per chunk/block). */
 object CodecId {
   final val Raw: Byte = 0      // 4 bytes LE per token (the "store" floor)
   final val BitPack: Byte = 1  // frame-of-reference + fixed-width bit-pack
@@ -28,8 +28,13 @@ final case class Decoded(values: Array[Int]) extends DecodeResult
 case object Truncated extends DecodeResult
 final case class Corrupt(reason: String) extends DecodeResult
 
-/** Framed single-vector codec: encode an Array[Int] into self-describing
-  * bytes, decode back bit-identical.
+/** Framed single-vector codec: encode an Array[Int] slice into
+  * self-describing bytes, decode back bit-identical.
+  *
+  * All encode paths are range-based (`from`/`until`) so the block-composite
+  * codec encodes sub-ranges of one big chunk vector with ZERO intermediate
+  * copies — the kernel is memory-bandwidth-bound at 32 threads, so every
+  * avoided pass matters (SURVEY.md §4.2 vectorized-kernel plan).
   *
   * Framing (deliberately in-band, fixing the reference's out-of-band-params
   * footgun where decoding with wrong (max_order, mem_size) silently emits
@@ -52,27 +57,36 @@ object TokenCodec {
   final val CrcLen = 4
   final val Overhead = HeaderLen + CrcLen
 
-  /** Encode with explicit codec choice. `stats` must come from
-    * ChunkStats.analyze(values) (carries the exact per-codec sizes). */
-  def encode(codec: Byte, values: Array[Int], stats: ChunkStats): Array[Byte] = {
-    val payloadLen = stats.payloadSize(codec)
-    val out = new Array[Byte](Overhead + payloadLen)
-    out(0) = MagicG; out(1) = MagicT; out(2) = codec
-    writeIntLE(out, 3, values.length)
+  /** Encode slice [from, until) with explicit codec choice into `out` at
+    * `pos` (framed). Returns end position. `stats` must be
+    * ChunkStats.analyze of the same slice. */
+  def encodeInto(codec: Byte, v: Array[Int], from: Int, until: Int,
+                 stats: ChunkStats, out: Array[Byte], pos: Int): Int = {
+    val n = until - from
+    out(pos) = MagicG; out(pos + 1) = MagicT; out(pos + 2) = codec
+    writeIntLE(out, pos + 3, n)
+    val body = pos + HeaderLen
     val end = codec match {
-      case CodecId.Raw     => encodeRaw(values, out, HeaderLen)
-      case CodecId.BitPack => encodeBitPack(values, stats, out, HeaderLen)
-      case CodecId.Rle     => encodeRle(values, out, HeaderLen)
-      case CodecId.Dict    => encodeDict(values, stats, out, HeaderLen)
-      case CodecId.Delta   => encodeDelta(values, out, HeaderLen)
-      case CodecId.VarInt  => encodeVarint(values, stats, out, HeaderLen)
+      case CodecId.Raw     => encodeRaw(v, from, until, out, body)
+      case CodecId.BitPack => encodeBitPack(v, from, until, stats, out, body)
+      case CodecId.Rle     => encodeRle(v, from, until, out, body)
+      case CodecId.Dict    => encodeDict(v, from, until, stats, out, body)
+      case CodecId.Delta   => encodeDelta(v, from, until, out, body)
+      case CodecId.VarInt  => encodeVarint(v, from, until, stats, out, body)
       case other => throw new IllegalArgumentException(s"codec $other")
     }
-    require(end == HeaderLen + payloadLen,
-      s"size model mismatch for ${CodecId.name(codec)}: wrote ${end - HeaderLen}, predicted $payloadLen")
+    require(end - body == stats.payloadSize(codec),
+      s"size model mismatch for ${CodecId.name(codec)}: wrote ${end - body}, predicted ${stats.payloadSize(codec)}")
     val crc = new CRC32
-    crc.update(out, 0, end)
+    crc.update(out, pos, end - pos)
     writeIntLE(out, end, crc.getValue.toInt)
+    end + CrcLen
+  }
+
+  /** Encode a whole array with explicit codec choice. */
+  def encode(codec: Byte, values: Array[Int], stats: ChunkStats): Array[Byte] = {
+    val out = new Array[Byte](Overhead + stats.payloadSize(codec))
+    encodeInto(codec, values, 0, values.length, stats, out, 0)
     out
   }
 
@@ -89,7 +103,7 @@ object TokenCodec {
     val splits =
       if (rowLens != null) BlockCodec.rowSplits(rowLens)
       else BlockCodec.fixedSplits(values.length)
-    val stats = ChunkStats.analyze(values)
+    val stats = ChunkStats.analyze(values, 0, values.length)
     val flatBest = stats.payloadSize(stats.bestCodec)
     if (splits.length > 1) {
       // encode block-wise once; the produced length IS the exact size, so no
@@ -100,10 +114,24 @@ object TokenCodec {
     encode(stats.bestCodec, values, stats)
   }
 
-  /** Auto-select among the flat codecs only (used for miniblocks). */
+  /** Auto-select among the flat codecs only; whole array. */
   def encodeAutoFlat(values: Array[Int]): Array[Byte] = {
-    val stats = ChunkStats.analyze(values)
+    val stats = ChunkStats.analyze(values, 0, values.length)
     encode(stats.bestCodec, values, stats)
+  }
+
+  /** Auto-select among the flat codecs for a slice, framed into `out` at
+    * `pos`; returns end position. */
+  def encodeAutoFlatInto(values: Array[Int], from: Int, until: Int,
+                         out: Array[Byte], pos: Int): Int = {
+    val stats = ChunkStats.analyze(values, from, until)
+    encodeInto(stats.bestCodec, values, from, until, stats, out, pos)
+  }
+
+  /** Framed size the flat auto-encode of a slice would produce. */
+  def flatAutoSize(values: Array[Int], from: Int, until: Int): Int = {
+    val stats = ChunkStats.analyze(values, from, until)
+    Overhead + stats.payloadSize(stats.bestCodec)
   }
 
   private def frameBlocks(nValues: Int, payload: Array[Byte]): Array[Byte] = {
@@ -120,28 +148,25 @@ object TokenCodec {
   /** Total-function decode: never throws, returns the error taxonomy. */
   def decode(bytes: Array[Byte]): DecodeResult = {
     if (bytes == null || bytes.length < Overhead) return Truncated
-    if (bytes(0) != MagicG || bytes(1) != MagicT)
+    decodeRange(bytes, 0, bytes.length)
+  }
+
+  /** Decode a framed record occupying [pos, limit) of `bytes`. */
+  def decodeRange(bytes: Array[Byte], pos: Int, limit: Int): DecodeResult = {
+    if (limit - pos < Overhead) return Truncated
+    if (bytes(pos) != MagicG || bytes(pos + 1) != MagicT)
       return Corrupt("bad magic")
-    val end = bytes.length - CrcLen
+    val end = limit - CrcLen
     val crc = new CRC32
-    crc.update(bytes, 0, end)
+    crc.update(bytes, pos, end - pos)
     if (crc.getValue.toInt != readIntLE(bytes, end))
       return Corrupt("crc mismatch")
-    val n = readIntLE(bytes, 3)
+    val n = readIntLE(bytes, pos + 3)
     if (n < 0) return Corrupt("negative count")
-    val codec = bytes(2)
+    val codec = bytes(pos + 2)
     try {
       val out = new Array[Int](n)
-      codec match {
-        case CodecId.Raw     => decodeRaw(bytes, HeaderLen, end, n, out)
-        case CodecId.BitPack => decodeBitPack(bytes, HeaderLen, end, n, out)
-        case CodecId.Rle     => decodeRle(bytes, HeaderLen, end, n, out)
-        case CodecId.Dict    => decodeDict(bytes, HeaderLen, end, n, out)
-        case CodecId.Delta   => decodeDelta(bytes, HeaderLen, end, n, out)
-        case CodecId.Blocks  => BlockCodec.decode(bytes, HeaderLen, end, n, out)
-        case CodecId.VarInt  => decodeVarint(bytes, HeaderLen, end, n, out)
-        case other => return Corrupt(s"unknown codec $other")
-      }
+      decodeBody(codec, bytes, pos + HeaderLen, end, n, out)
       Decoded(out)
     } catch {
       case TruncatedException => Truncated
@@ -151,6 +176,19 @@ object TokenCodec {
     }
   }
 
+  private[codec] def decodeBody(codec: Byte, bytes: Array[Byte], body: Int,
+                                end: Int, n: Int, out: Array[Int]): Unit =
+    codec match {
+      case CodecId.Raw     => decodeRaw(bytes, body, end, n, out)
+      case CodecId.BitPack => decodeBitPack(bytes, body, end, n, out)
+      case CodecId.Rle     => decodeRle(bytes, body, end, n, out)
+      case CodecId.Dict    => decodeDict(bytes, body, end, n, out)
+      case CodecId.Delta   => decodeDelta(bytes, body, end, n, out)
+      case CodecId.VarInt  => decodeVarint(bytes, body, end, n, out)
+      case CodecId.Blocks  => BlockCodec.decode(bytes, body, end, n, out)
+      case other => throw CorruptException(s"unknown codec $other")
+    }
+
   /** Strict decode for trusted pipelines: throws on anything but success. */
   def decodeOrThrow(bytes: Array[Byte]): Array[Int] = decode(bytes) match {
     case Decoded(v) => v
@@ -159,9 +197,10 @@ object TokenCodec {
   }
 
   // ---- raw ----------------------------------------------------------------
-  private def encodeRaw(v: Array[Int], out: Array[Byte], pos0: Int): Int = {
-    var pos = pos0; var i = 0
-    while (i < v.length) { writeIntLE(out, pos, v(i)); pos += 4; i += 1 }
+  private def encodeRaw(v: Array[Int], from: Int, until: Int,
+                        out: Array[Byte], pos0: Int): Int = {
+    var pos = pos0; var i = from
+    while (i < until) { writeIntLE(out, pos, v(i)); pos += 4; i += 1 }
     pos
   }
   private def decodeRaw(b: Array[Byte], pos0: Int, limit: Int, n: Int,
@@ -173,11 +212,11 @@ object TokenCodec {
 
   // ---- frame-of-reference + bit-pack --------------------------------------
   // payload: [base i32 LE][width u8][packed bits]
-  private def encodeBitPack(v: Array[Int], st: ChunkStats,
-                            out: Array[Byte], pos0: Int): Int = {
+  private def encodeBitPack(v: Array[Int], from: Int, until: Int,
+                            st: ChunkStats, out: Array[Byte], pos0: Int): Int = {
     writeIntLE(out, pos0, st.min)
     out(pos0 + 4) = st.forWidth.toByte
-    BitPacking.pack(v, st.min.toLong, st.forWidth, out, pos0 + 5)
+    BitPacking.pack(v, from, until, st.min.toLong, st.forWidth, out, pos0 + 5)
   }
   private def decodeBitPack(b: Array[Byte], pos0: Int, limit: Int, n: Int,
                             out: Array[Int]): Unit = {
@@ -191,14 +230,14 @@ object TokenCodec {
   // ---- run-length ----------------------------------------------------------
   // payload: per run [zigzag varint value][varint runLen-1]; run count is
   // implied by the total value count in the header.
-  private def encodeRle(v: Array[Int], out: Array[Byte], pos0: Int): Int = {
+  private def encodeRle(v: Array[Int], from: Int, until: Int,
+                        out: Array[Byte], pos0: Int): Int = {
     var pos = pos0
-    var i = 0
-    val n = v.length
-    while (i < n) {
+    var i = from
+    while (i < until) {
       val x = v(i)
       var j = i + 1
-      while (j < n && v(j) == x) j += 1
+      while (j < until && v(j) == x) j += 1
       pos = Varint.writeZ(out, pos, x.toLong)
       pos = Varint.write(out, pos, (j - i - 1).toLong)
       i = j
@@ -221,7 +260,7 @@ object TokenCodec {
   // ---- dictionary ----------------------------------------------------------
   // payload: [varint card][dict: zigzag varint first, then varint positive
   // deltas (sorted ascending)][width u8][packed dict indexes]
-  private def encodeDict(v: Array[Int], st: ChunkStats,
+  private def encodeDict(v: Array[Int], from: Int, until: Int, st: ChunkStats,
                          out: Array[Byte], pos0: Int): Int = {
     val dict = st.sortedDistinct
     val card = dict.length
@@ -238,13 +277,14 @@ object TokenCodec {
     out(pos) = width.toByte
     pos += 1
     // map each value to its dict index via binary search (dict is sorted)
-    val idx = new Array[Int](v.length)
+    val n = until - from
+    val idx = new Array[Int](n)
     var i = 0
-    while (i < v.length) {
-      idx(i) = java.util.Arrays.binarySearch(dict, v(i))
+    while (i < n) {
+      idx(i) = java.util.Arrays.binarySearch(dict, v(from + i))
       i += 1
     }
-    BitPacking.pack(idx, 0L, width, out, pos)
+    BitPacking.pack(idx, 0, n, 0L, width, out, pos)
   }
   private def decodeDict(b: Array[Byte], pos0: Int, limit: Int, n: Int,
                          out: Array[Int]): Unit = {
@@ -273,12 +313,13 @@ object TokenCodec {
 
   // ---- delta ----------------------------------------------------------------
   // payload: zigzag varint v0, then zigzag varint (v[i]-v[i-1]) as Long
-  private def encodeDelta(v: Array[Int], out: Array[Byte], pos0: Int): Int = {
+  private def encodeDelta(v: Array[Int], from: Int, until: Int,
+                          out: Array[Byte], pos0: Int): Int = {
     var pos = pos0
-    if (v.length > 0) {
-      pos = Varint.writeZ(out, pos, v(0).toLong)
-      var i = 1
-      while (i < v.length) {
+    if (until > from) {
+      pos = Varint.writeZ(out, pos, v(from).toLong)
+      var i = from + 1
+      while (i < until) {
         pos = Varint.writeZ(out, pos, v(i).toLong - v(i - 1).toLong)
         i += 1
       }
@@ -301,13 +342,13 @@ object TokenCodec {
 
   // ---- varint-per-value -------------------------------------------------------
   // payload: [flag u8: 0 = unsigned LEB128 (all values >= 0), 1 = zigzag]
-  private def encodeVarint(v: Array[Int], st: ChunkStats,
-                           out: Array[Byte], pos0: Int): Int = {
+  private def encodeVarint(v: Array[Int], from: Int, until: Int,
+                           st: ChunkStats, out: Array[Byte], pos0: Int): Int = {
     val unsigned = st.min >= 0
     out(pos0) = if (unsigned) 0 else 1
     var pos = pos0 + 1
-    var i = 0
-    while (i < v.length) {
+    var i = from
+    while (i < until) {
       pos =
         if (unsigned) Varint.write(out, pos, v(i).toLong)
         else Varint.writeZ(out, pos, v(i).toLong)

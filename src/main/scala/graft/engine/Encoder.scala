@@ -44,7 +44,7 @@ object Encoder {
     * fine-grained column instead of the skewed one. The in-partition sort
     * still clusters each partition's rows by source for dictionary/FSST
     * locality; token blocks are row-aligned, so cross-row mixing costs ~0. */
-  private[engine] def arrange(ds: Dataset[SeqRow], cfg: EncoderConfig)
+  private[graft] def arrange(ds: Dataset[SeqRow], cfg: EncoderConfig)
       : Dataset[SeqRow] = {
     val parted =
       if (cfg.numPartitions > 0) ds.repartition(cfg.numPartitions, col("doc_id"))
