@@ -25,6 +25,7 @@ object SparkEntry {
     "encode_docs" -> (EngineQueries.encodeDocs _),
     "codec_histogram" -> (EngineQueries.codecHistogram _),
     "lineage_roundtrip" -> (EngineQueries.lineageRoundtrip _),
+    "encode_expr" -> (EngineQueries.encodeExpr _),
     // relational coverage (oracled)
     "q1_agg" -> (RelationalQueries.q1Agg _),
     "q2_join_agg" -> (RelationalQueries.q2JoinAgg _),

@@ -83,6 +83,26 @@ object EngineQueries {
       .crossJoin(broadcast(mism))
   }
 
+  /** Catalyst-expression surface: encode/decode as columns (whole-stage
+    * codegen'd), verifying the roundtrip and compression inside one SQL
+    * plan. The A1/A2 one-shot API exercised at table scale. */
+  def encodeExpr(s: SparkSession, dir: String): DataFrame = {
+    import graft.sql.GraftFunctions._
+    val ds = Corpus.table(s, math.min(rowsForDir(dir), 5000L),
+      partitions = s.sparkContext.defaultParallelism)
+    ds.select(col("source"), col("tokens"),
+        encode_tokens(col("tokens")).as("enc"))
+      .withColumn("back", decode_tokens(col("enc")))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(expr("4 * size(tokens)")).as("raw_bytes"),
+        sum(length(col("enc"))).as("enc_bytes"),
+        sum(when(expr("tokens <=> back"), lit(0)).otherwise(lit(1)))
+          .as("mismatches"))
+      .orderBy(col("source"))
+  }
+
   /** Lineage roundtrip as a query: encode to a scratch dir, resume (no-op),
     * decode back, report counts — the A22 unconsumed-input analog. */
   def lineageRoundtrip(s: SparkSession, dir: String): DataFrame = {

@@ -1,0 +1,68 @@
+package graft.sql
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+import graft.io.Corpus
+
+class SqlSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("encode_tokens/decode_tokens column roundtrip") {
+    val ds = Corpus.table(spark, 200, partitions = 2)
+    val out = ds.select(col("doc_id"), col("tokens"),
+        GraftFunctions.decode_tokens(
+          GraftFunctions.encode_tokens(col("tokens"))).as("back"))
+      .filter(expr("tokens <=> back") === lit(false))
+    assert(out.count() == 0L)
+  }
+
+  test("SQL-registered functions work and compress") {
+    GraftFunctions.register(spark)
+    Corpus.table(spark, 100, partitions = 1).createOrReplaceTempView("corpus_sql")
+    val row = spark.sql(
+      """SELECT sum(length(encode_tokens(tokens))) AS enc,
+        |       sum(4 * size(tokens)) AS raw,
+        |       sum(CASE WHEN decode_tokens(encode_tokens(tokens)) = tokens
+        |                THEN 0 ELSE 1 END) AS mismatches
+        |FROM corpus_sql""".stripMargin).collect()(0)
+    assert(row.getLong(2) == 0L, "roundtrip mismatch")
+    assert(row.getLong(0) < row.getLong(1), "no compression")
+  }
+
+  test("fold rule removes decode(encode(x)) from the optimized plan") {
+    GraftFunctions.register(spark)
+    val ds = Corpus.table(spark, 50, partitions = 1)
+    val df = ds.select(GraftFunctions.decode_tokens(
+      GraftFunctions.encode_tokens(col("tokens"))).as("t"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("encode_tokens"),
+      s"encode_tokens survived optimization:\n$optimized")
+  }
+
+  test("expression stays inside WholeStageCodegen") {
+    val ds = Corpus.table(spark, 50, partitions = 1)
+    val df = ds.select(GraftFunctions.encode_tokens(col("tokens")).as("b"))
+    // the '*(n)' prefix marks operators inside a WholeStageCodegen stage
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.next().trim.startsWith("*("),
+      s"encode projection not codegen'd:\n$plan")
+    assert(df.select(sum(length(col("b")))).first().getLong(0) > 0)
+  }
+
+  test("corrupt binary fails decode_tokens (reference ValueError analog)") {
+    val bad = Seq(Tuple1(Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12)))
+      .toDF("b")
+    intercept[Exception] {
+      bad.select(GraftFunctions.decode_tokens(col("b"))).collect()
+    }
+  }
+
+  test("one-shot compress/decompress API (pyppmd.compress analog)") {
+    val toks = Array.tabulate(10000)(i => (i % 97) + 3)
+    val enc = GraftFunctions.compress(toks)
+    assert(enc.length < 4 * toks.length)
+    assert(GraftFunctions.decompress(enc).sameElements(toks))
+  }
+}
