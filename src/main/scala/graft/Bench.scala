@@ -49,7 +49,9 @@ object Bench {
     val corpus = Corpus.table(spark, nRows, partitions = parts)
       .cache()
     val nTokens = corpus.map(_.n_tok.toLong).reduce(_ + _) // force cache
-    val cfg = EncoderConfig(chunkTokens = 1 << 20, numPartitions = parts)
+    // partition-local encode (no shuffle), the at-scale configuration —
+    // input is already generated at the target partitioning
+    val cfg = EncoderConfig(chunkTokens = 1 << 20, numPartitions = 0)
 
     val (chunks, tEnc) = time {
       val c = Encoder.encodeTable(corpus, cfg).cache()

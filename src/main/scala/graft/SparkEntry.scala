@@ -26,6 +26,7 @@ object SparkEntry {
     "codec_histogram" -> (EngineQueries.codecHistogram _),
     "lineage_roundtrip" -> (EngineQueries.lineageRoundtrip _),
     "encode_expr" -> (EngineQueries.encodeExpr _),
+    "token_stats" -> (EngineQueries.tokenStats _),
     // relational coverage (oracled)
     "q1_agg" -> (RelationalQueries.q1Agg _),
     "q2_join_agg" -> (RelationalQueries.q2JoinAgg _),

@@ -83,6 +83,23 @@ object EngineQueries {
       .crossJoin(broadcast(mism))
   }
 
+  /** Per-source token statistics via the mergeable Aggregator (partial +
+    * final combine; the selector's stats pass as a Spark aggregate). */
+  def tokenStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val agg = org.apache.spark.sql.functions.udaf(new graft.stats.TokenStatsAgg)
+    val ds = Corpus.table(s, math.min(rowsForDir(dir), 10000L),
+      partitions = s.sparkContext.defaultParallelism)
+    ds.toDF()
+      .groupBy(col("source"))
+      .agg(agg(col("tokens")).as("stats"))
+      .select(col("source"), col("stats.n_rows"), col("stats.n_tokens"),
+        col("stats.min"), col("stats.max"), col("stats.run_count"),
+        col("stats.max_run"), col("stats.distinct"),
+        round(col("stats.mean_run"), 3).as("mean_run"))
+      .orderBy(col("source"))
+  }
+
   /** Catalyst-expression surface: encode/decode as columns (whole-stage
     * codegen'd), verifying the roundtrip and compression inside one SQL
     * plan. The A1/A2 one-shot API exercised at table scale. */
