@@ -27,6 +27,7 @@ object SparkEntry {
     "lineage_roundtrip" -> (EngineQueries.lineageRoundtrip _),
     "encode_expr" -> (EngineQueries.encodeExpr _),
     "token_stats" -> (EngineQueries.tokenStats _),
+    "source_distinct_tokens" -> (EngineQueries.sourceDistinctTokens _),
     // relational coverage (oracled)
     "q1_agg" -> (RelationalQueries.q1Agg _),
     "q2_join_agg" -> (RelationalQueries.q2JoinAgg _),

@@ -98,11 +98,29 @@ object Lineage {
   /** Decode a lineage dir back to rows: one task per chunk, seeking to its
     * manifest offset — selective reads, the analog of length-delimited
     * chunked decode (`test_ppmd7.py:95-146`). */
-  def decodeFromDir(spark: SparkSession, dir: String): Dataset[SeqRow] = {
+  def decodeFromDir(spark: SparkSession, dir: String): Dataset[SeqRow] =
+    decodeManifest(spark, dir, readManifest(spark, dir))
+
+  /** Zone-map pruned decode: only chunks whose [min_doc_id, max_doc_id]
+    * range overlaps [lo, hi] are read and decoded — the manifest doubles as
+    * a zone map, so a point/range lookup touches a handful of chunks out of
+    * the whole table (at 10^12 rows this is the difference between a seek
+    * and a full scan). Rows are then exactly filtered. */
+  def decodeDocIdRange(spark: SparkSession, dir: String, lo: String,
+                       hi: String): Dataset[SeqRow] = {
+    import org.apache.spark.sql.functions.col
+    val pruned = readManifest(spark, dir)
+      .filter(col("max_doc_id") >= lo && col("min_doc_id") <= hi)
+    decodeManifest(spark, dir, pruned)
+      .filter(r => r.doc_id >= lo && r.doc_id <= hi)
+  }
+
+  private def decodeManifest(spark: SparkSession, dir: String,
+                             manifest: Dataset[ManifestRow]): Dataset[SeqRow] = {
     import spark.implicits._
     val hconf = new SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
-    readManifest(spark, dir).flatMap { m =>
+    manifest.flatMap { m =>
       val fs = FileSystem.get(new java.net.URI(dir), hconf.value)
       val in = fs.open(new Path(s"$dir/data/${pn(m.part_id)}.graft"))
       try {

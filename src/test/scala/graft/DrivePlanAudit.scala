@@ -1,0 +1,26 @@
+package graft
+
+import graft.queries._
+
+/** Prints formatted physical plans of representative queries for the plan
+  * audit (PLANS.md). Run: sbt "Test/runMain graft.DrivePlanAudit" */
+object DrivePlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkTestSession.spark
+    val sf = "/root/testdata/sf0.01"
+    def show(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      println(s"\n===== $name =====")
+      println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+    }
+    show("q3_broadcast_join (filter pushdown + broadcast + pruning)",
+      RelationalQueries.q3BroadcastJoin(spark, sf))
+    show("q1_agg (partial/final agg)", RelationalQueries.q1Agg(spark, sf))
+    show("doc_token_count (column pruning)", TextQueries.tokenCount(spark, sf))
+    show("ann_bruteforce (broadcast + window topk)",
+      AnnQueries.annBruteForce(spark, sf))
+    show("source_distinct_tokens (salted two-phase distinct)",
+      EngineQueries.sourceDistinctTokens(spark, sf))
+    spark.stop()
+  }
+}
