@@ -75,14 +75,15 @@ object ScalingBench {
       corpus.unpersist(true)
       spark.stop()
       println(f"""{"cpus":$cpus,"rows":$nRows,"tokens":$nTokens,"encode_sec":$tEnc%.3f,"decode_sec":$tDec%.3f,"encode_tokens_per_sec":${(nTokens / tEnc).toLong},"decode_tokens_per_sec":${(nTokens / tDec).toLong},"enc_bytes":$encBytes}""")
-      (cpus, nTokens, tEnc, tDec)
+      (cpus, nTokens, tEnc, tDec, encBytes)
     }
     if (results.length >= 2) {
-      val (c0, tok, e0, d0) = results(0)
-      val (c1, _, e1, d1) = results(results.length - 1)
+      val (c0, tok, e0, d0, bytes0) = results(0)
+      val (c1, _, e1, d1, bytes1) = results(results.length - 1)
       // threaded-equivalence (ThreadDecoder.c recast): identical output bytes
-      // at every parallelism level — checked via identical enc_bytes above
-      // (the per-level prints show the same value; chunking is fixed).
+      // at every parallelism level (chunking is fixed across levels)
+      require(bytes0 == bytes1,
+        s"parallelism changed the encoded bytes: $bytes0 vs $bytes1")
       val factor = c1.toDouble / c0
       val effEnc = (tok / e1) / (tok / e0) / factor
       val effDec = (tok / d1) / (tok / d0) / factor

@@ -50,6 +50,7 @@ object SparkEntry {
     "dedup_minhash" -> (DedupQueries.dedupMinhash _),
     "dedup_simhash" -> (DedupQueries.dedupSimhash _),
     "dedup_tokens" -> (DedupQueries.dedupTokens _),
+    "dedup_ngram" -> (DedupQueries.dedupNgram _),
     // similarity search
     "ann_bruteforce" -> (AnnQueries.annBruteForce _),
     "ann_lsh" -> (AnnQueries.annLsh _),
