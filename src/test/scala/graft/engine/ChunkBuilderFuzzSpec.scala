@@ -1,0 +1,72 @@
+package graft.engine
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import graft.GenChecks
+
+/** Property fuzz of the full chunk assembly path — the hypothesis layer of
+  * the reference suite (test_fuzzer.py:15-60) recast: adversarial strings
+  * (unicode, quotes, control chars) through FSST + manifest JSON, hostile
+  * token shapes including zero-length rows. */
+class ChunkBuilderFuzzSpec extends AnyFunSuite with GenChecks {
+
+  private val genDocId: Gen[String] = Gen.oneOf(
+    Gen.alphaNumStr.map("doc-" + _),
+    // arbitrary valid unicode: lone surrogates are unrepresentable in UTF-8
+    // (Spark's UTF8String/Parquet have the same contract), so exclude the
+    // surrogate range — everything else must roundtrip
+    Gen.listOf(Gen.choose(Char.MinValue, Char.MaxValue)
+      .suchThat(c => !Character.isSurrogate(c))).map(_.mkString),
+    Gen.const("""quo"te\back\slash"""),
+    Gen.const("new\nline\ttab\rcr"),
+    Gen.const(""),
+    Gen.const("日本語のドキュメント-∞-😀"))
+
+  private val genTokens: Gen[Array[Int]] = Gen.oneOf(
+    Gen.const(Array.emptyIntArray), // zero-length rows must survive
+    Gen.listOf(Gen.choose(-1000, 1000)).map(_.toArray),
+    Gen.listOfN(600, Gen.choose(0, 50256)).map(_.toArray),
+    Gen.const(Array(Int.MinValue, Int.MaxValue, 0)))
+
+  private val genRows: Gen[List[SeqRow]] = Gen.nonEmptyListOf(for {
+    id <- genDocId
+    toks <- genTokens
+    src <- Gen.oneOf("web", "", "sp ace", "uni∂code")
+  } yield SeqRow(id, toks, toks.length, src))
+
+  test("build/open roundtrips arbitrary rows bit-identically") {
+    forAll(genRows, trials = 60) { rows =>
+      val chunk = ChunkBuilder.build(3, 9, rows.map(_.doc_id).toArray,
+        rows.map(_.source).toArray, rows.flatMap(_.tokens).toArray,
+        rows.map(_.n_tok).toArray)
+      val back = ChunkBuilder.open(chunk).toList
+      assert(back.length == rows.length)
+      back.zip(rows).foreach { case (b, o) =>
+        assert(b.doc_id == o.doc_id)
+        assert(b.source == o.source)
+        assert(b.n_tok == o.n_tok)
+        assert(b.tokens.sameElements(o.tokens))
+      }
+    }
+  }
+
+  test("lineage survives hostile doc_ids end-to-end (manifest JSON escaping)") {
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    val rows = Seq(
+      SeqRow("""quo"te\back""", Array(1, 2, 3), 3, "web"),
+      SeqRow("new\nline", Array(9), 1, "w\"eb"),
+      SeqRow("日本語-😀", Array(0, 0, 0, 0), 4, "uni"),
+      SeqRow("", Array(7, 7), 2, ""))
+    val dir = java.nio.file.Files.createTempDirectory("graft-fuzz").toString
+    Lineage.encodeToDir(spark.createDataset(rows), dir,
+      EncoderConfig(numPartitions = 1))
+    val back = Lineage.decodeFromDir(spark, dir).collect()
+      .map(r => r.doc_id -> r).toMap
+    assert(back.size == rows.length)
+    rows.foreach { o =>
+      val b = back(o.doc_id)
+      assert(b.tokens.sameElements(o.tokens) && b.source == o.source)
+    }
+  }
+}
