@@ -102,6 +102,23 @@ object ChunkBuilder {
     }
   }
 
+  /** Decode only the side metadata (source, n_tok per row) without touching
+    * the token payload — rollups/reports read this, not the data. */
+  def openMeta(c: EncodedChunk): Iterator[(String, Int)] = {
+    val sections = splitSections(c.meta, 4)
+    val rowLens = TokenCodec.decodeOrThrow(sections(0))
+    val srcIdx = TokenCodec.decodeOrThrow(sections(1))
+    val srcDict = unpackStrings(Fsst.decode(sections(2)))
+    if (rowLens.length != c.n_rows || srcIdx.length != c.n_rows)
+      throw CorruptException(s"chunk ${c.chunk_id}: row count mismatch")
+    (0 until c.n_rows).iterator.map { i =>
+      val si = srcIdx(i)
+      if (si < 0 || si >= srcDict.length)
+        throw CorruptException(s"chunk ${c.chunk_id}: source index")
+      (srcDict(si), rowLens(i))
+    }
+  }
+
   // ---- string blob helpers --------------------------------------------------
   private def iterDict(m: java.util.LinkedHashMap[String, Integer]): Array[String] = {
     val out = new Array[String](m.size())

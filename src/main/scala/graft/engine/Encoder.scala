@@ -96,17 +96,13 @@ object Encoder {
   def report(chunks: Dataset[EncodedChunk]): Dataset[EncodeReport] = {
     val spark = chunks.sparkSession
     import spark.implicits._
-    // a chunk can span sources; report keys on the chunk's majority source
-    // via meta would be costly — instead re-derive per source from rows is
-    // overkill; chunks are built after a (source, doc_id) sort so >99% of
-    // chunks are single-source. Use min_doc_id's chunk source proxy: store
-    // exact by decoding sources from meta cheaply.
+    // exact per-source attribution from the chunk's side metadata only —
+    // the token payload is never decoded for a report
     chunks.flatMap { c =>
-      val rows = ChunkBuilder.open(c)
       val bySource = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
-      rows.foreach { r =>
-        val cur = bySource.getOrElse(r.source, (0L, 0L))
-        bySource.update(r.source, (cur._1 + 1L, cur._2 + r.n_tok))
+      ChunkBuilder.openMeta(c).foreach { case (source, nTok) =>
+        val cur = bySource.getOrElse(source, (0L, 0L))
+        bySource.update(source, (cur._1 + 1L, cur._2 + nTok))
       }
       val codecName = graft.codec.CodecId.name(c.codec.toByte)
       bySource.iterator.map { case (src, (nr, nt)) =>
