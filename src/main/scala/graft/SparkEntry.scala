@@ -54,6 +54,7 @@ object SparkEntry {
     // similarity search
     "ann_bruteforce" -> (AnnQueries.annBruteForce _),
     "ann_lsh" -> (AnnQueries.annLsh _),
+    "ann_ivf" -> (AnnQueries.annIvf _),
     "dedup_embedding" -> (AnnQueries.dedupEmbedding _),
     // multimodal plumbing
     "multimodal_features" -> (MultimodalQueries.multimodalFeatures _),

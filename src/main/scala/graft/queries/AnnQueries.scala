@@ -113,6 +113,55 @@ object AnnQueries {
       .orderBy(col("q_id"))
   }
 
+  /** IVF (inverted-file) ANN: coarse-quantize vectors to K centroids
+    * (deterministic k-means: splitmix-seeded centroids + 2 Lloyd iterations
+    * over a sample), build the inverted lists as a (cluster -> vectors)
+    * table, then search only the nProbe closest clusters per query.
+    *
+    * Scale shape: the centroid table is tiny (K x dim) and broadcast; list
+    * assignment is a map; the probe join is an equi-join on cluster id.
+    * At 10^9 vectors you'd raise K to keep list length ~ sqrt(N). Reports
+    * per query the IVF top-1 vs brute-force top-1 (recall evidence). */
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("vec"))
+      .as[(Long, Array[Double])]
+      .cache()
+    // deterministic coarse quantizer trained on a fixed sample
+    val sample = e.filter(_._1 % 7 == 0).map(_._2).collect()
+    val centroids = Ivf.train(sample, k = 16, iters = 2)
+    val bcCentroids = s.sparkContext.broadcast(centroids)
+    val assigned = e.map { case (id, v) =>
+      (id, v, Ivf.nearestCentroid(bcCentroids.value, v)) }
+      .toDF("vec_id", "vec", "cluster")
+      .cache()
+    val queries = assigned.as[(Long, Array[Double], Int)]
+      .filter(_._1 < 5)
+      .map { case (id, v, _) =>
+        (id, v, Ivf.nearestClusters(bcCentroids.value, v, nProbe = 4)) }
+      .toDF("q_id", "q_vec", "probe")
+      .select(col("q_id"), col("q_vec"), explode(col("probe")).as("cluster"))
+    val probed = assigned.join(broadcast(queries), Seq("cluster"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosineExpr("q_vec", "vec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    val ivfTop = probed.withColumn("rank", row_number().over(w))
+      .filter(col("rank") === lit(1))
+      .select(col("q_id"), col("vec_id").as("ivf_top1"),
+        round(col("cos"), 4).as("ivf_cos"))
+    val bruteTop = annBruteForce(s, dir).filter(col("rank") === lit(1))
+      .select(col("q_id"), col("neighbor_id").as("brute_top1"))
+    val probeSizes = probed.groupBy(col("q_id"))
+      .agg(count(lit(1)).as("probed_candidates"))
+    ivfTop.join(bruteTop, Seq("q_id"), "full_outer")
+      .join(probeSizes, Seq("q_id"), "left")
+      .withColumn("top1_agrees", col("ivf_top1") === col("brute_top1"))
+      .na.fill(Map("probed_candidates" -> 0L))
+      .orderBy(col("q_id"))
+  }
+
   /** Embedding near-dup: cosine >= 0.95 pairs found via LSH buckets;
     * per-vector summary (never empty). */
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
@@ -145,6 +194,60 @@ object AnnQueries {
       .na.fill(Map("n_near_dups" -> 0L, "max_cos" -> 0.0))
       .orderBy(col("vec_id"))
   }
+}
+
+/** Deterministic k-means-lite coarse quantizer (no Spark deps, no RNG). */
+object Ivf {
+  /** Seeded centroids (splitmix over (k, dim)) refined by `iters` Lloyd
+    * steps over the sample. Pure function of its inputs. */
+  def train(sample: Array[Array[Double]], k: Int, iters: Int)
+      : Array[Array[Double]] = {
+    require(sample.nonEmpty)
+    val dim = sample(0).length
+    // init from evenly-strided sample points (deterministic, data-scaled —
+    // synthetic-scale init off the data distribution collapses to one list)
+    var cents = Array.tabulate(k)(c => sample((c * sample.length) / k).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        val c = nearestCentroid(cents, v)
+        counts(c) += 1
+        var d = 0
+        while (d < dim) { sums(c)(d) += v(d); d += 1 }
+      }
+      cents = Array.tabulate(k) { c =>
+        if (counts(c) == 0) cents(c)
+        else sums(c).map(_ / counts(c))
+      }
+      it += 1
+    }
+    cents
+  }
+
+  private def dist2(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var d = 0
+    while (d < a.length) { val x = a(d) - b(d); s += x * x; d += 1 }
+    s
+  }
+
+  def nearestCentroid(cents: Array[Array[Double]], v: Array[Double]): Int = {
+    var best = 0
+    var bd = dist2(cents(0), v)
+    var c = 1
+    while (c < cents.length) {
+      val d = dist2(cents(c), v)
+      if (d < bd) { bd = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  def nearestClusters(cents: Array[Array[Double]], v: Array[Double],
+                      nProbe: Int): Array[Int] =
+    cents.indices.sortBy(c => dist2(cents(c), v)).take(nProbe).toArray
 }
 
 /** Deterministic random hyperplanes for sign-LSH (no Spark deps). */
