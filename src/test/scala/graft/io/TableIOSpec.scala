@@ -1,0 +1,31 @@
+package graft.io
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+import graft.engine.{Decoder, Encoder, EncoderConfig}
+import java.nio.file.Files
+
+class TableIOSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("sequences and chunk tables roundtrip through parquet") {
+    val seqPath = Files.createTempDirectory("graft-seq").toString + "/t"
+    val chunkPath = Files.createTempDirectory("graft-chunks").toString + "/t"
+    val ds = Corpus.table(spark, 300, partitions = 3)
+    ds.write.parquet(seqPath)
+
+    val readBack = ParquetTableIO.readSequences(spark, seqPath)
+    val chunks = Encoder.encodeTable(readBack,
+      EncoderConfig(chunkTokens = 8192, numPartitions = 3))
+    ParquetTableIO.writeChunks(chunks, chunkPath)
+
+    val decoded = Decoder.decodeTable(
+      ParquetTableIO.readChunks(spark, chunkPath))
+      .collect().map(r => r.doc_id -> r).toMap
+    val original = ds.collect().map(r => r.doc_id -> r).toMap
+    assert(decoded.keySet == original.keySet)
+    original.foreach { case (id, o) =>
+      assert(decoded(id).tokens.sameElements(o.tokens), id)
+    }
+  }
+}
