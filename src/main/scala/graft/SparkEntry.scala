@@ -42,6 +42,7 @@ object SparkEntry {
     "q11_time_window" -> (RelationalQueries.q11TimeWindow _),
     // text pipeline
     "doc_token_count" -> (TextQueries.tokenCount _),
+    "doc_token_count_bpe" -> (TextQueries.tokenCountBpe _),
     "doc_quality" -> (TextQueries.qualityScore _),
     "doc_langid" -> (TextQueries.langId _),
     "doc_fingerprint" -> (TextQueries.fingerprint _),

@@ -44,17 +44,26 @@ object EngineQueries {
     out
   }
 
-  /** Codec-selection histogram over the encoded chunk table. */
+  /** Codec-selection histogram over the encoded chunk table, splitting the
+    * token payload from the side metadata (doc_ids/sources/lens) so the
+    * tokens-only ratio is directly comparable to the PPMd reference (whose
+    * number covers tokens only). */
   def codecHistogram(s: SparkSession, dir: String): DataFrame = {
     val ds = Corpus.table(s, rowsForDir(dir),
       partitions = s.sparkContext.defaultParallelism)
     val chunks = Encoder.encodeTable(ds, cfgFor(s))
     import s.implicits._
-    chunks.groupByKey(c => graft.codec.CodecId.name(c.codec.toByte))
-      .agg(count(lit(1)).as("n_chunks").as[Long],
-        sum("n_tokens").as("n_tokens").as[Long],
-        sum("enc_bytes").as("enc_bytes").as[Long])
-      .toDF("codec", "n_chunks", "n_tokens", "enc_bytes")
+    chunks.map(c => (graft.codec.CodecId.name(c.codec.toByte), c.n_tokens,
+        c.raw_bytes, c.payload.length.toLong, c.meta.length.toLong))
+      .toDF("codec", "n_tokens", "raw_bytes", "payload_bytes", "meta_bytes")
+      .groupBy(col("codec"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum("n_tokens").as("n_tokens"),
+        sum("raw_bytes").as("raw_bytes"),
+        sum("payload_bytes").as("payload_bytes"),
+        sum("meta_bytes").as("meta_bytes"))
+      .withColumn("payload_ratio",
+        round(col("payload_bytes") / col("raw_bytes"), 4))
       .orderBy(col("codec"))
   }
 

@@ -58,6 +58,20 @@ object TextQueries {
       |    AS quality_score
       |FROM t ORDER BY doc_id""".stripMargin
 
+  /** BPE-ish token counting: a GPT-2-style pre-tokenizer regex (contraction
+    * splits, letter runs, digit runs, punctuation runs, whitespace) counted
+    * per document — the realistic token-budget estimator next to the plain
+    * whitespace count. Rows-only (regex dialects differ across engines). */
+  def tokenCountBpe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir).select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        (id, BpeCount.count(text), text.split(" ").length.toLong) }
+      .toDF("doc_id", "bpe_tokens", "ws_tokens")
+      .orderBy(col("doc_id"))
+  }
+
   /** Language-ID: deterministic char-bigram profile scoring (n-gram
     * heuristic). The driver corpus's lang labels are independent of content
     * (same vocabulary for every lang), so accuracy is chance — the operator
@@ -80,6 +94,19 @@ object TextQueries {
       .map { case (id, text) => (id, LangId.rollingHash(text), text.length) }
       .toDF("doc_id", "fingerprint", "n_chars")
       .orderBy(col("doc_id"))
+  }
+}
+
+/** GPT-2-style pre-tokenizer counter (public regex shape from the GPT-2
+  * repo/tiktoken docs), compiled once per JVM. */
+object BpeCount {
+  private val pattern = java.util.regex.Pattern.compile(
+    """'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+""")
+  def count(text: String): Long = {
+    val m = pattern.matcher(text)
+    var n = 0L
+    while (m.find()) n += 1
+    n
   }
 }
 
