@@ -134,20 +134,34 @@ object Decoder {
   }
 
   /** Decode with verification against the source table; returns mismatched
-    * doc_ids (empty = bit-identical). Join is on doc_id — broadcast the
-    * decoded side is wrong at scale, so this is a shuffle hash join keyed on
-    * the id, which Spark/AQE handles. */
+    * doc_ids (empty = faithful). Each side is reduced map-side to
+    * (doc_id, 64-bit content hash over n_tok + tokens + source) BEFORE the
+    * join, so the shuffle moves 16-byte rows instead of token arrays — at
+    * 10^12 sequences that's the difference between shuffling ~100 TB twice
+    * and shuffling ~30 TB of ids+hashes. Hash equality stands in for
+    * bit-identity (2^-64 collision odds per row); the test suite separately
+    * asserts element-wise equality on collected samples. */
   def verifyAgainst(chunks: Dataset[EncodedChunk], original: Dataset[SeqRow])
       : Dataset[String] = {
     val spark = chunks.sparkSession
     import spark.implicits._
-    val decoded = decodeTable(chunks)
-    decoded.joinWith(original, decoded("doc_id") === original("doc_id"), "full_outer")
-      .flatMap { case (d, o) =>
-        if (d == null || o == null) Some(if (d == null) o.doc_id else d.doc_id)
-        else if (d.n_tok != o.n_tok || !d.tokens.sameElements(o.tokens) ||
-                 d.source != o.source) Some(d.doc_id)
-        else None
-      }
+    def digest(ds: Dataset[SeqRow]): Dataset[(String, Long)] =
+      ds.map(r => (r.doc_id, contentHash(r)))
+    val d = digest(decodeTable(chunks)).toDF("doc_id", "d_hash")
+    val o = digest(original).toDF("doc_id", "o_hash")
+    d.join(o, Seq("doc_id"), "full_outer")
+      .filter(col("d_hash").isNull || col("o_hash").isNull ||
+        col("d_hash") =!= col("o_hash"))
+      .select(col("doc_id")).as[String]
+  }
+
+  private def contentHash(r: SeqRow): Long = {
+    var h = 0xcbf29ce484222325L
+    h = (h ^ r.n_tok) * 1099511628211L
+    var i = 0
+    while (i < r.tokens.length) { h = (h ^ r.tokens(i)) * 1099511628211L; i += 1 }
+    var c = 0
+    while (c < r.source.length) { h = (h ^ r.source.charAt(c)) * 1099511628211L; c += 1 }
+    h
   }
 }

@@ -83,6 +83,22 @@ class EngineSpec extends AnyFunSuite {
     assert(Decoder.verifyAgainst(chunks, ds).count() == 0L)
   }
 
+  test("verifyAgainst detects a mutated row and a missing row") {
+    import spark.implicits._
+    val rows = (0L until 100L).map(i => Corpus.row(42L, i))
+    val ds = spark.createDataset(rows)
+    val chunks = Encoder.encodeTable(ds, EncoderConfig(numPartitions = 2))
+    // mutate one row's tokens, drop another
+    val tampered = rows.map { r =>
+      if (r.doc_id == "doc-000000000007")
+        r.copy(tokens = r.tokens.updated(0, r.tokens(0) + 1))
+      else r
+    }.filterNot(_.doc_id == "doc-000000000009")
+    val bad = Decoder.verifyAgainst(chunks, spark.createDataset(tampered))
+      .collect().sorted
+    assert(bad.toSeq == Seq("doc-000000000007", "doc-000000000009"))
+  }
+
   test("corrupt chunk payload fails decode (error -2 analog)") {
     val ds = Corpus.table(spark, 100, partitions = 1)
     val chunks = Encoder.encodeTable(ds, EncoderConfig(numPartitions = 1))
