@@ -53,17 +53,18 @@ object Bench {
     // input is already generated at the target partitioning
     val cfg = EncoderConfig(chunkTokens = 1 << 20, numPartitions = 0)
 
-    val (chunks, tEnc) = time {
-      val c = Encoder.encodeTable(corpus, cfg).cache()
-      c.count()
-      c
-    }
-    val encBytes = chunks.agg(sum("enc_bytes")).as[Long].first()
+    // steady-state methodology (same as ScalingBench/BASELINE.md): the timed
+    // region is the transform + reduce, min of 2 reps after a warm rep
+    def encodeOnce(): Long =
+      Encoder.encodeTable(corpus, cfg).map(_.enc_bytes).reduce(_ + _)
+    val encBytes = encodeOnce() // warm
+    val tEnc = (1 to 2).map(_ => time(encodeOnce())._2).min
+    val chunks = Encoder.encodeTable(corpus, cfg).cache()
     val rawBytes = chunks.agg(sum("raw_bytes")).as[Long].first()
-    val (decTokens, tDec) = time {
+    def decodeOnce(): Long =
       Decoder.decodeTable(chunks).map(_.n_tok.toLong).reduce(_ + _)
-    }
-    require(decTokens == nTokens, s"decode token count $decTokens != $nTokens")
+    require(decodeOnce() == nTokens, "decode token count mismatch") // warm
+    val tDec = (1 to 2).map(_ => time(decodeOnce())._2).min
     corpus.unpersist()
     chunks.unpersist()
 
