@@ -47,6 +47,30 @@ object StreamingEncoder {
         ()
       }
 
+  /** Cross-batch streaming dedup with custom state
+    * (flatMapGroupsWithState): keyed on the row's content hash, the first
+    * arrival passes through, replays/duplicates in ANY later micro-batch are
+    * dropped. This is the streaming-ingest guard of a training pipeline —
+    * the reference's incremental "model remembers what it has seen" recast
+    * as explicit keyed state. State per key is one boolean (bounded); at
+    * scale you'd add a state TTL via GroupStateTimeout. */
+  def dedupStream(rows: Dataset[SeqRow]): Dataset[SeqRow] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    rows
+      .groupByKey(r => ContentKey.of(r))
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(
+        (_: Long, it: Iterator[SeqRow], state: GroupState[Boolean]) => {
+          if (state.exists) Iterator.empty // seen in an earlier batch
+          else {
+            state.update(true)
+            it.take(1) // first occurrence only (also dedups within the batch)
+          }
+        })
+  }
+
   /** Windowed/watermarked aggregation over a stream of (ts, source, n_tok):
     * per-minute token counts per source — the streaming stats feed for the
     * codec selector's reporting side (SURVEY.md Table B streaming row). */
@@ -57,4 +81,17 @@ object StreamingEncoder {
       .agg(count(lit(1)).as("n_rows"), sum(col("n_tok")).as("n_tokens"))
       .select(col("window.start").as("window_start"), col("source"),
         col("n_rows"), col("n_tokens"))
+}
+
+/** 64-bit content key over (n_tok, tokens, source) — FNV, deterministic. */
+object ContentKey {
+  def of(r: SeqRow): Long = {
+    var h = 0xcbf29ce484222325L
+    h = (h ^ r.n_tok) * 1099511628211L
+    var i = 0
+    while (i < r.tokens.length) { h = (h ^ r.tokens(i)) * 1099511628211L; i += 1 }
+    var c = 0
+    while (c < r.source.length) { h = (h ^ r.source.charAt(c)) * 1099511628211L; c += 1 }
+    h
+  }
 }

@@ -39,6 +39,22 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("stateful streaming dedup drops duplicates across micro-batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[SeqRow]
+    val rows = (0L until 60L).map(i => Corpus.row(42L, i))
+    input.addData(rows.take(40))                      // batch 1
+    input.addData(rows.drop(20) ++ rows.take(5))      // batch 2 overlaps both ends
+    val q = StreamingEncoder.dedupStream(input.toDS())
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val out = spark.table("dedup_stream").collect()
+    assert(out.length == 60, s"expected 60 unique rows, got ${out.length}")
+    assert(out.map(_.getString(0)).distinct.length == 60)
+  }
+
   test("watermarked windowed aggregation over a rate-like stream") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
