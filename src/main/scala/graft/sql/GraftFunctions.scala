@@ -49,6 +49,15 @@ object GraftFunctions {
   def decompress(bytes: Array[Byte]): Array[Int] =
     graft.codec.TokenCodec.decodeOrThrow(bytes)
 
+  /** str-input one-shot, the `pyppmd.compress(str)` / `decompress_str`
+    * analog (`__init__.py:83,144-145,205-219`): UTF-8 encode, then the
+    * byte-stream codec (FSST). */
+  def compressText(text: String): Array[Byte] =
+    graft.codec.Fsst.encode(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  def decompressText(bytes: Array[Byte]): String =
+    new String(graft.codec.Fsst.decode(bytes),
+      java.nio.charset.StandardCharsets.UTF_8)
+
   // codegen-callable kernels (static-shaped entry points)
   def encodeKernel(arr: ArrayData): Array[Byte] =
     graft.codec.TokenCodec.encodeAuto(arr.toIntArray())
