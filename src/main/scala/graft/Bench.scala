@@ -81,8 +81,17 @@ object Bench {
     val total = results.map(_._2).sum + tEnc + tDec
     val encTps = (nTokens / tEnc).toLong
     val decTps = (nTokens / tDec).toLong
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","encode_tokens_per_sec":$encTps,"decode_tokens_per_sec":$decTps,"encode_sec":$tEnc%.3f,"decode_sec":$tDec%.3f,"corpus_rows":$nRows,"corpus_tokens":$nTokens,"raw_bytes":$rawBytes,"enc_bytes":$encBytes,"compression_ratio":${encBytes.toDouble / rawBytes}%.4f,"cpus":$cpus}""")
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","encode_tokens_per_sec":$encTps,"decode_tokens_per_sec":$decTps,"encode_sec":$tEnc%.3f,"decode_sec":$tDec%.3f,"corpus_rows":$nRows,"corpus_tokens":$nTokens,"raw_bytes":$rawBytes,"enc_bytes":$encBytes,"compression_ratio":${encBytes.toDouble / rawBytes}%.4f,"cpus":$cpus}"""
+    println(json)
+    // The stdout line gets wrapped in sbt's [info] prefix, which defeats a
+    // line-oriented JSON parse — ALSO persist it to files the driver (and a
+    // human) can read directly.
+    def writeTo(path: String): Unit =
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json + "\n")
+      catch { case e: Throwable => System.err.println(s"[bench] $path: $e") }
+    writeTo("bench.json")
+    sys.env.get("SPARK_GRAFT_OUT").foreach(d => writeTo(s"$d/bench.json"))
     spark.stop()
   }
 }

@@ -28,6 +28,7 @@ object SparkEntry {
     "encode_expr" -> (EngineQueries.encodeExpr _),
     "token_stats" -> (EngineQueries.tokenStats _),
     "source_distinct_tokens" -> (EngineQueries.sourceDistinctTokens _),
+    "source_approx_distinct" -> (EngineQueries.sourceApproxDistinctTokens _),
     // relational coverage (oracled)
     "q1_agg" -> (RelationalQueries.q1Agg _),
     "q2_join_agg" -> (RelationalQueries.q2JoinAgg _),
@@ -80,5 +81,17 @@ object SparkEntry {
     "doc_quality" -> TextQueries.qualityScoreSql,
     "dedup_exact" -> DedupQueries.dedupExactSql,
     "ann_bruteforce" -> AnnQueries.annBruteForceSql,
+    // corpus-table twins: the query materializes the deterministic corpus
+    // to /root/repo/data/oracle/corpus_n5000.parquet (CorpusTable.ensure);
+    // DuckDB recomputes over the identical bytes
+    "token_stats" -> EngineQueries.tokenStatsSql,
+    "source_distinct_tokens" -> EngineQueries.sourceDistinctTokensSql,
+    "encode_expr" -> EngineQueries.encodeExprSql,
+    "dedup_tokens" -> DedupQueries.dedupTokensSql,
+    // fixture twins: independent Python recomputation of the text kernels
+    // (tools/gen_doc_fixtures.py -> golden/doc_fixtures_sf0.01.parquet)
+    "doc_token_count_bpe" -> TextQueries.tokenCountBpeSql,
+    "doc_fingerprint" -> TextQueries.fingerprintSql,
+    "doc_langid" -> TextQueries.langIdSql,
   )
 }

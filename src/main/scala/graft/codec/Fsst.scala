@@ -13,8 +13,13 @@ import java.util.zip.CRC32
   * (`/root/reference/src/pyppmd/__init__.py:83,144-145`), except we use a
   * static per-chunk table instead of an adaptive byte model.
   *
-  * Framing: [magic 'G','S'][mode u8: 0=raw 1=fsst][varint rawLen]
-  *          mode 1: [u8 nSymbols][per symbol: u8 len, bytes][payload]
+  * Framing: [magic 'G','S'][mode u8: 0=raw 1=fsst 2=fsst+packed]
+  *          [varint rawLen]
+  *          mode 1: [u8 nSymbols][per symbol: u8 len, bytes][code bytes]
+  *          mode 2: [u8 nSymbols][symbols][TokenCodec frame over the code
+  *                  stream] — second-stage coding: the code stream usually
+  *                  touches far fewer than 256 distinct values, so the
+  *                  dict/bit-pack codecs shave it below 8 bits per code
   *          mode 0: [raw bytes]
   *          [crc32 LE of all previous bytes]
   */
@@ -57,12 +62,27 @@ object Fsst {
   }
 
   /** Train a table on (a sample of) the data: iterative greedy merge of
-    * frequent adjacent symbol pairs, scored by gain = freq * length. */
+    * frequent adjacent symbol pairs, scored by gain = freq * length.
+    * Oversized inputs are sampled by STRIDED slices spread over the whole
+    * buffer — a prefix sample would bias the table toward the first rows of
+    * a chunk and miss vocabulary that only appears later. */
   def train(data: Array[Byte], generations: Int = 4,
             sampleLimit: Int = 1 << 14): SymbolTable = {
     val sample =
       if (data.length <= sampleLimit) data
-      else java.util.Arrays.copyOf(data, sampleLimit)
+      else {
+        val nSlices = 16
+        val slice = sampleLimit / nSlices
+        val out = new Array[Byte](slice * nSlices)
+        val stride = (data.length - slice).toDouble / (nSlices - 1)
+        var k = 0
+        while (k < nSlices) {
+          val start = math.min(math.round(k * stride), (data.length - slice).toLong).toInt
+          System.arraycopy(data, start, out, k * slice, slice)
+          k += 1
+        }
+        out
+      }
     var table = new SymbolTable(Array.empty)
     var gen = 0
     while (gen < generations) {
@@ -172,8 +192,8 @@ object Fsst {
   }
 
   /** Self-contained framed encode: trains on the data, embeds the table,
-    * falls back to raw if FSST does not win. Never expands beyond
-    * header + rawLen. */
+    * second-stage packs the code stream when that wins, falls back to raw
+    * if FSST does not win at all. Never expands beyond header + rawLen. */
   def encode(data: Array[Byte]): Array[Byte] = {
     val table = if (data.length >= 16) train(data) else new SymbolTable(Array.empty)
     val packed =
@@ -181,15 +201,31 @@ object Fsst {
     val tableLen =
       if (packed == null) 0
       else 1 + table.symbols.map(_.length + 1).sum
-    val useFsst = packed != null && tableLen + packed.length < data.length
+    // second stage: the code stream as an int vector through the stats-
+    // driven TokenCodec (dict/bit-pack/rle pick up the low code cardinality)
+    val packed2 =
+      if (packed == null) null
+      else {
+        val ints = new Array[Int](packed.length)
+        var i = 0
+        while (i < packed.length) { ints(i) = packed(i) & 0xff; i += 1 }
+        TokenCodec.encodeAutoFlat(ints)
+      }
+    val size1 = if (packed == null) Int.MaxValue else tableLen + packed.length
+    val size2 = if (packed2 == null) Int.MaxValue else tableLen + packed2.length
+    val mode =
+      if (size2 < size1 && size2 < data.length) 2
+      else if (size1 < data.length) 1
+      else 0
     val bos = new java.io.ByteArrayOutputStream()
     bos.write(MagicG); bos.write(MagicS)
-    bos.write(if (useFsst) 1 else 0)
+    bos.write(mode)
     writeVarint(bos, data.length.toLong)
-    if (useFsst) {
+    if (mode > 0) {
       bos.write(table.symbols.length)
       table.symbols.foreach { s => bos.write(s.length); bos.write(s, 0, s.length) }
-      bos.write(packed, 0, packed.length)
+      val p = if (mode == 2) packed2 else packed
+      bos.write(p, 0, p.length)
     } else {
       bos.write(data, 0, data.length)
     }
@@ -217,7 +253,7 @@ object Fsst {
       case 0 =>
         if (r.pos + rawLen > end) throw TruncatedException
         java.util.Arrays.copyOfRange(bytes, r.pos, r.pos + rawLen)
-      case 1 =>
+      case 1 | 2 =>
         if (r.pos >= end) throw TruncatedException
         val nSym = bytes(r.pos) & 0xff
         var p = r.pos + 1
@@ -232,7 +268,25 @@ object Fsst {
           p += len
           i += 1
         }
-        decompressWith(new SymbolTable(symbols), bytes, p, end, rawLen)
+        if (mode == 1)
+          decompressWith(new SymbolTable(symbols), bytes, p, end, rawLen)
+        else {
+          // unpack the second-stage code stream back to bytes first
+          val codes = TokenCodec.decodeRange(bytes, p, end) match {
+            case Decoded(v) => v
+            case Truncated  => throw TruncatedException
+            case Corrupt(m) => throw CorruptException(m)
+          }
+          val stream = new Array[Byte](codes.length)
+          i = 0
+          while (i < codes.length) {
+            if (codes(i) < 0 || codes(i) > 255)
+              throw CorruptException("fsst packed code out of range")
+            stream(i) = codes(i).toByte
+            i += 1
+          }
+          decompressWith(new SymbolTable(symbols), stream, 0, stream.length, rawLen)
+        }
       case m => throw CorruptException(s"fsst mode $m")
     }
   }

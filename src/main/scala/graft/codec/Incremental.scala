@@ -65,7 +65,11 @@ final class IncrementalTokenEncoder(chunkTokens: Int = 1 << 20) {
   * exposing eof / needsInput like the reference's decoder flags
   * (`_ppmdmodule.c:540-555`). */
 final class IncrementalTokenDecoder {
+  // buffered-but-unconsumed stream bytes live in pending[off, pending.length);
+  // off advances per decoded frame and the array is compacted only when a
+  // feed arrives, so N tiny feeds cost O(total bytes), not O(N * total).
   private var pending = Array.emptyByteArray
+  private var off = 0
   private var eofSeen = false
   def eof: Boolean = eofSeen
   def needsInput: Boolean = !eofSeen
@@ -73,27 +77,38 @@ final class IncrementalTokenDecoder {
   /** Feed more stream bytes; returns all tokens decodable so far. */
   def decode(bytes: Array[Byte]): Array[Int] = {
     require(!eofSeen, "decode after eof")
-    pending =
-      if (pending.isEmpty) bytes
-      else {
-        val merged = java.util.Arrays.copyOf(pending, pending.length + bytes.length)
-        System.arraycopy(bytes, 0, merged, pending.length, bytes.length)
-        merged
-      }
+    if (pending.length == off) { pending = bytes; off = 0 }
+    else {
+      val live = pending.length - off
+      val merged = new Array[Byte](live + bytes.length)
+      System.arraycopy(pending, off, merged, 0, live)
+      System.arraycopy(bytes, 0, merged, live, bytes.length)
+      pending = merged
+      off = 0
+    }
     val acc = scala.collection.mutable.ArrayBuilder.make[Int]
     var progressing = true
     while (progressing && !eofSeen) {
       progressing = false
       val r = new Varint.Reader(pending)
+      r.pos = off
       try {
         val len = r.read().toInt
         if (len == 0) {
           eofSeen = true
-          pending = java.util.Arrays.copyOfRange(pending, r.pos, pending.length)
+          off = r.pos
         } else if (r.pos + len <= pending.length) {
           val frame = java.util.Arrays.copyOfRange(pending, r.pos, r.pos + len)
-          acc ++= TokenCodec.decodeOrThrow(frame)
-          pending = java.util.Arrays.copyOfRange(pending, r.pos + len, pending.length)
+          // The full declared frame is present: a Truncated from the inner
+          // decode means the frame LIES about its contents (e.g. a row count
+          // larger than the payload) — that is corruption, not missing
+          // input; swallowing it would stall the stream forever.
+          acc ++= (try TokenCodec.decodeOrThrow(frame)
+          catch {
+            case TruncatedException => throw new CorruptException(
+              "frame payload shorter than its declared contents")
+          })
+          off = r.pos + len
           progressing = true
         }
       } catch { case TruncatedException => () /* need more input */ }
@@ -102,5 +117,7 @@ final class IncrementalTokenDecoder {
   }
 
   /** Bytes past the endmark — `unused_data` (`_ppmdmodule.c:365-390`). */
-  def unusedData: Array[Byte] = if (eofSeen) pending else Array.emptyByteArray
+  def unusedData: Array[Byte] =
+    if (eofSeen) java.util.Arrays.copyOfRange(pending, off, pending.length)
+    else Array.emptyByteArray
 }

@@ -7,13 +7,13 @@ import org.apache.spark.sql.functions._
 /** Table-level encode: Dataset[SeqRow] -> Dataset[EncodedChunk].
   *
   * Spark-first design (SURVEY.md §3 lifecycle mapping): the plan is
-  * {scan -> range repartition -> sortWithinPartitions -> mapPartitions
-  * chunk-encode}. Catalyst provides pushdown/pruning on the scan; the single
-  * shuffle is the range repartition that (a) co-locates rows of the same
-  * `source` for better per-chunk dictionaries and (b) spreads the skewed hot
-  * source (70% "web" in the corpus) across many partitions because `doc_id`
-  * extends the range key — range partitioning splits a heavy key range where
-  * hash-partitioning on `source` alone would hotspot one task.
+  * {scan -> hash repartition on doc_id -> sortWithinPartitions(source,
+  * doc_id) -> mapPartitions chunk-encode}. Catalyst provides pushdown and
+  * pruning on the scan; the single shuffle is the hash repartition on the
+  * unique doc_id (uniform — the skewed `source`, 70% "web" in the corpus,
+  * cannot hotspot a task), and the in-partition sort clusters each
+  * partition's rows by source for dictionary/FSST locality. See arrange()
+  * for why hash (not range) partitioning is required for resume.
   *
   * Chunk membership is a pure function of (data order, numPartitions), never
   * of task scheduling: rows are range-partitioned and sorted before slicing,

@@ -40,6 +40,14 @@ object Lineage {
     * skipped (resume). Returns the number of partitions encoded this run. */
   def encodeToDir(ds: Dataset[SeqRow], dir: String,
                   cfg: EncoderConfig = EncoderConfig()): Long = {
+    // Resume is only sound when partition membership is a pure function of
+    // the data: a re-run must rebuild EXACTLY the rows a completed
+    // partition held. cfg.numPartitions > 0 forces the deterministic hash
+    // repartition in Encoder.arrange; 0 would inherit whatever upstream
+    // partitioning the first run happened to have.
+    require(cfg.numPartitions > 0,
+      "Lineage.encodeToDir needs an explicit numPartitions (deterministic " +
+        "partitioning is what makes resume sound)")
     val spark = ds.sparkSession
     val hconf = new SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
@@ -55,7 +63,13 @@ object Lineage {
       val fs = FileSystem.get(new java.net.URI(dir), hconf.value)
       val manifest = new Path(s"$dir/_lineage/${pn(pid)}.json")
       if (!fs.exists(manifest)) { // resume: skip completed partitions
-        val dataTmp = new Path(s"$dir/data/${pn(pid)}.graft.inprogress")
+        // Temp names carry the task attempt id: with speculative execution
+        // or a zombie retry, two attempts of the same partition must never
+        // interleave writes into one temp file. Rename stays the commit
+        // point; the loser's rename fails or is skipped by the manifest
+        // check, and its orphaned temp is inert.
+        val attempt = TaskContext.get.taskAttemptId()
+        val dataTmp = new Path(s"$dir/data/${pn(pid)}.graft.inprogress-$attempt")
         val dataFinal = new Path(s"$dir/data/${pn(pid)}.graft")
         val out = fs.create(dataTmp, true)
         val rows = new scala.collection.mutable.ArrayBuffer[ManifestRow]()
@@ -74,7 +88,7 @@ object Lineage {
         if (fs.exists(dataFinal)) fs.delete(dataFinal, false)
         if (!fs.rename(dataTmp, dataFinal))
           throw new java.io.IOException(s"rename failed: $dataTmp -> $dataFinal")
-        val mTmp = new Path(s"$dir/_lineage/${pn(pid)}.json.inprogress")
+        val mTmp = new Path(s"$dir/_lineage/${pn(pid)}.json.inprogress-$attempt")
         val mOut = fs.create(mTmp, true)
         rows.foreach { r => mOut.write((manifestJson(r) + "\n").getBytes("UTF-8")) }
         mOut.close()

@@ -58,7 +58,10 @@ object Corpus {
 
   private def constant(rng: Rng): Array[Int] = {
     val n = lognormalLen(rng)
-    Array.fill(n)(rng.nextInt(V))
+    // one sample, repeated — Array.fill(n)(rng.nextInt(V)) would re-draw per
+    // element and silently turn the RLE-winning archetype into hi-entropy
+    val v = rng.nextInt(V)
+    Array.fill(n)(v)
   }
 
   private def runny(rng: Rng): Array[Int] = {

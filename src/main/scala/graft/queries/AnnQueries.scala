@@ -73,10 +73,10 @@ object AnnQueries {
       |SELECT q_id, rank, vec_id AS neighbor_id, round(cos, 4) AS cos
       |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
-  /** LSH-bucketed ANN: 16 deterministic random hyperplanes -> 16-bit bucket;
-    * neighbors searched only within the query's bucket. Reports per-query
-    * bucket size, found top-1, and whether it agrees with brute force
-    * (recall evidence). Rows-only. */
+  /** LSH-bucketed ANN: 8 deterministic random hyperplanes -> 8-bit bucket
+    * (256 buckets); neighbors searched only within the query's bucket.
+    * Reports per-query bucket size, found top-1, and whether it agrees with
+    * brute force (recall evidence). Rows-only. */
   def annLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = emb(s, dir).select(col("vec_id"),
@@ -128,9 +128,13 @@ object AnnQueries {
       transform(col("embedding"), x => x.cast("double")).as("vec"))
       .as[(Long, Array[Double])]
       .cache()
-    // deterministic coarse quantizer trained on a fixed sample
-    val sample = e.filter(_._1 % 7 == 0).map(_._2).collect()
-    val centroids = Ivf.train(sample, k = 16, iters = 2)
+    // Deterministic coarse quantizer trained on an O(k) sample: modulo
+    // thinning for spread, then a HARD row cap before the collect — the
+    // driver sees at most k*128 vectors no matter how large the table is
+    // (k-means init/refinement only needs O(k) points, not O(N)).
+    val k = 16
+    val sample = e.filter(_._1 % 7 == 0).map(_._2).limit(k * 128).collect()
+    val centroids = Ivf.train(sample, k = k, iters = 2)
     val bcCentroids = s.sparkContext.broadcast(centroids)
     val assigned = e.map { case (id, v) =>
       (id, v, Ivf.nearestCentroid(bcCentroids.value, v)) }
@@ -163,7 +167,12 @@ object AnnQueries {
   }
 
   /** Embedding near-dup: cosine >= 0.95 pairs found via LSH buckets;
-    * per-vector summary (never empty). */
+    * per-vector summary (never empty). A max-bucket guard drops buckets
+    * bigger than DedupQueries.MaxBucket before the self-join — one
+    * degenerate bucket (the failure mode of fixed-plane LSH on clustered
+    * embeddings) otherwise costs O(b^2) pairs in a single reducer. At
+    * 10^9-vector scale you'd also raise NPlanes so expected bucket size
+    * stays bounded (buckets scale 2^planes). */
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = emb(s, dir).select(col("vec_id"),
@@ -172,7 +181,8 @@ object AnnQueries {
       .map { case (id, v) => (id, v, Hyperplanes.bucket(v)) }
       .toDF("vec_id", "vec", "bucket")
       .cache()
-    val a = e.as("a"); val b = e.as("b")
+    val guarded = DedupQueries.guardBuckets(e, "bucket")
+    val a = guarded.as("a"); val b = guarded.as("b")
     val pairs = a.join(b, col("a.bucket") === col("b.bucket") &&
         col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos", {
@@ -256,13 +266,15 @@ object Hyperplanes {
     * hold a handful of candidates; at 10^9-vector scale you'd raise planes
     * to keep bucket cardinality bounded (buckets scale 2^planes). */
   final val NPlanes = 8
-  /** plane p, dim d -> weight in [-1, 1), splitmix64-derived. */
+  /** plane p, dim d -> weight in [-1, 1), splitmix64-derived. Unsigned
+    * shift is load-bearing: a signed shift folds every weight into [-2, 0),
+    * pointing all normals into one orthant and collapsing the buckets. */
   def weight(p: Int, d: Int): Double = {
     var z = (p.toLong << 32 | d.toLong) ^ 0x9E3779B97F4A7C15L
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
     z ^= z >>> 31
-    (z >> 11).toDouble * 1.1102230246251565e-16 * 2.0 - 1.0
+    (z >>> 11).toDouble * 1.1102230246251565e-16 * 2.0 - 1.0
   }
 
   def bucket(vec: Array[Double]): Int = {

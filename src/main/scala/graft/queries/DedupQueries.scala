@@ -11,17 +11,43 @@ import org.apache.spark.sql.functions._
   * Scale note (100 TB): the LSH band join is the classic
   * shingle->minhash->band->bucket-join pipeline; bucket keys are salted by
   * band index so one hot bucket cannot hotspot a reducer; the per-bucket
-  * pair expansion is capped by construction (bucket sizes are tiny for
-  * non-duplicate corpora, and a max-bucket guard drops pathological buckets
-  * the way production dedup pipelines do). */
+  * pair expansion is capped by guardBuckets (bucket sizes are tiny for
+  * non-duplicate corpora, and buckets above MaxBucket are dropped before
+  * the self-join the way production dedup pipelines do — a bucket of b
+  * members costs O(b^2) candidate pairs in ONE reducer, so a single
+  * 10k-copy document would otherwise pin the job on 5*10^7 pairs). Docs in
+  * a dropped bucket are still seen through their other bands, and exact
+  * copies — the only way a bucket gets that hot — are already caught by
+  * dedup_exact / dedup_tokens. */
 object DedupQueries {
+
+  /** Bucket-size cap for all LSH-family self-joins: caps the worst-case
+    * per-bucket pair expansion at MaxBucket^2/2 (~8k pairs), independent of
+    * corpus size or duplication rate. */
+  final val MaxBucket = 128
+
+  /** Keep only bucket rows whose `key` bucket has <= MaxBucket members —
+    * an aggregate + left-semi join, both plain shuffles on the 8-byte key;
+    * no bucket's member list is ever materialized on one node. */
+  private[queries] def guardBuckets(buckets: DataFrame, key: String,
+                                    cap: Int = MaxBucket): DataFrame = {
+    val small = buckets.groupBy(col(key))
+      .agg(count(lit(1)).as("__bucket_n"))
+      .filter(col("__bucket_n") <= cap)
+      .select(col(key))
+    buckets.join(small, Seq(key), "left_semi")
+  }
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
-  /** Exact dedup summary via full-text grouping (hash-groupBy). */
+  /** Exact dedup summary. The grouping key is sha2-256 of the text, not the
+    * text itself: the shuffle moves 32-byte digests instead of whole
+    * documents (at 100 TB that IS the job), and a 256-bit collision is
+    * beyond cosmic-ray odds, so digest-distinct == text-distinct (the
+    * DuckDB oracle groups by the raw text and must agree). */
   def dedupExact(s: SparkSession, dir: String): DataFrame = {
-    val perText = docs(s, dir).groupBy(col("text"))
+    val perText = docs(s, dir).groupBy(sha2(col("text"), 256).as("text_key"))
       .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keeper"))
     perText.agg(
       sum(col("n")).cast("long").as("total_docs"),
@@ -62,8 +88,8 @@ object DedupQueries {
       .map { case (id, shingles) =>
         (id, Shingles.minhashBandKeys(shingles, nHashes = 32, bands = 8)) }
       .toDF("doc_id", "band_keys")
-    val buckets = sigs.select(col("doc_id"),
-      explode(col("band_keys")).as("band_key"))
+    val buckets = guardBuckets(sigs.select(col("doc_id"),
+      explode(col("band_keys")).as("band_key")), "band_key")
     // candidate pairs: self-join inside buckets; a<b kills mirror duplicates
     val a = buckets.as("a"); val b = buckets.as("b")
     val cand = a.join(b, col("a.band_key") === col("b.band_key") &&
@@ -108,7 +134,8 @@ object DedupQueries {
           "named_struct('band', 3, 'key', simhash & 65535))")).as("b"))
       .select(col("doc_id"), col("simhash"),
         concat(col("b.band"), lit(":"), col("b.key")).as("band_key"))
-    val a = banded.as("a"); val b = banded.as("b")
+    val guarded = guardBuckets(banded, "band_key")
+    val a = guarded.as("a"); val b = guarded.as("b")
     val cand = a.join(b, col("a.band_key") === col("b.band_key") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("a.simhash").as("sh_a"),
@@ -138,10 +165,11 @@ object DedupQueries {
       .map { case (id, text) => (id, Shingles.charShingles(text, 4)) }
       .toDF("doc_id", "shingles")
       .cache()
-    val buckets = sh.as[(Long, Array[Long])]
+    val buckets = guardBuckets(sh.as[(Long, Array[Long])]
       .map { case (id, g) => (id, Shingles.minhashBandKeys(g, 16, 4)) }
       .toDF("doc_id", "band_keys")
-      .select(col("doc_id"), explode(col("band_keys")).as("band_key"))
+      .select(col("doc_id"), explode(col("band_keys")).as("band_key")),
+      "band_key")
     val a = buckets.as("a"); val b = buckets.as("b")
     val cand = a.join(b, col("a.band_key") === col("b.band_key") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -165,13 +193,18 @@ object DedupQueries {
   }
 
   /** Token-array exact dedup over the synthetic corpus: content-hash
-    * grouping on the tokens column itself (the engine-side dedup shape). */
+    * grouping on the tokens column itself (the engine-side dedup shape —
+    * the shuffle key is an 8-byte FNV of the array, never the array).
+    * Oracled: the DuckDB twin groups the SAME materialized parquet by the
+    * raw token list, so a hash collision or drift would surface. */
   def dedupTokens(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val n = EngineQueries.rowsForDir(dir)
-    val ds = graft.io.Corpus.table(s, n, partitions = 4)
-    val hashed = ds.map(r => (r.doc_id, Shingles.hashTokens(r.tokens), r.source))
-      .toDF("doc_id", "content_hash", "source")
+    val ds = graft.io.CorpusTable.table(s, n)
+      .select(col("doc_id"), col("tokens"))
+      .as[(String, Array[Int])]
+    val hashed = ds.map { case (id, toks) => (id, Shingles.hashTokens(toks)) }
+      .toDF("doc_id", "content_hash")
     val groups = hashed.groupBy(col("content_hash"))
       .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keeper"))
     groups.agg(
@@ -180,6 +213,17 @@ object DedupQueries {
       sum(when(col("n") > 1, col("n") - 1).otherwise(lit(0))).cast("long")
         .as("redundant_rows"))
   }
+
+  val dedupTokensSql: String =
+    """WITH g AS (
+      |  SELECT tokens, count(*) AS n
+      |  FROM read_parquet('/root/repo/data/oracle/corpus_n5000.parquet/*.parquet')
+      |  GROUP BY tokens)
+      |SELECT CAST(sum(n) AS BIGINT) AS total_rows,
+      |  count(*) AS distinct_contents,
+      |  CAST(sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS BIGINT)
+      |    AS redundant_rows
+      |FROM g""".stripMargin
 }
 
 /** Deterministic shingle/sketch kernels (no Spark deps). */

@@ -93,13 +93,13 @@ object EngineQueries {
   }
 
   /** Per-source token statistics via the mergeable Aggregator (partial +
-    * final combine; the selector's stats pass as a Spark aggregate). */
+    * final combine; the selector's stats pass as a Spark aggregate). Reads
+    * the MATERIALIZED corpus parquet so the DuckDB oracle twin sees the
+    * identical bytes (and cross-checks the distributed merge against
+    * independently computed per-row run columns). */
   def tokenStats(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val agg = org.apache.spark.sql.functions.udaf(new graft.stats.TokenStatsAgg)
-    val ds = Corpus.table(s, math.min(rowsForDir(dir), 10000L),
-      partitions = s.sparkContext.defaultParallelism)
-    ds.toDF()
+    graft.io.CorpusTable.table(s, math.min(rowsForDir(dir), 10000L))
       .groupBy(col("source"))
       .agg(agg(col("tokens")).as("stats"))
       .select(col("source"), col("stats.n_rows"), col("stats.n_tokens"),
@@ -117,9 +117,8 @@ object EngineQueries {
     * instead of one; at 10^12 rows this is the difference between one
     * 100GB-state reducer and 64 bounded ones. */
   def sourceDistinctTokens(s: SparkSession, dir: String): DataFrame = {
-    val ds = Corpus.table(s, math.min(rowsForDir(dir), 20000L),
-      partitions = s.sparkContext.defaultParallelism)
-    val exploded = ds.toDF()
+    val ds = graft.io.CorpusTable.table(s, math.min(rowsForDir(dir), 20000L))
+    val exploded = ds
       .select(col("source"), explode(col("tokens")).as("token"))
       .withColumn("salt", pmod(xxhash64(col("token")), lit(64)))
     exploded
@@ -130,13 +129,30 @@ object EngineQueries {
       .orderBy(col("source"))
   }
 
+  /** Approximate distinct (HyperLogLog++, rsd 1%) beside the exact salted
+    * variant: at 10^12 rows the exact path costs a full shuffle of distinct
+    * tokens while the sketch is a fixed few-KB state per group — the
+    * standard accuracy/cost dial. Rows-only (approximate by construction);
+    * QueriesSpec pins it within 5% of the exact answer. */
+  def sourceApproxDistinctTokens(s: SparkSession, dir: String): DataFrame = {
+    graft.io.CorpusTable.table(s, math.min(rowsForDir(dir), 20000L))
+      .select(col("source"), explode(col("tokens")).as("token"))
+      .groupBy(col("source"))
+      .agg(approx_count_distinct(col("token"), 0.01)
+        .as("approx_distinct_tokens"))
+      .orderBy(col("source"))
+  }
+
   /** Catalyst-expression surface: encode/decode as columns (whole-stage
-    * codegen'd), verifying the roundtrip and compression inside one SQL
-    * plan. The A1/A2 one-shot API exercised at table scale. */
+    * codegen'd), verifying the roundtrip inside one SQL plan. The A1/A2
+    * one-shot API exercised at table scale. Oracled: the DuckDB twin
+    * recomputes n_rows/raw_bytes from the same parquet and pins
+    * mismatches = 0 — a roundtrip-correctness check through the hard
+    * channel. (Compressed sizes live in codec_histogram; they are
+    * engine-specific and deliberately not oracled.) */
   def encodeExpr(s: SparkSession, dir: String): DataFrame = {
     import graft.sql.GraftFunctions._
-    val ds = Corpus.table(s, math.min(rowsForDir(dir), 5000L),
-      partitions = s.sparkContext.defaultParallelism)
+    val ds = graft.io.CorpusTable.table(s, math.min(rowsForDir(dir), 5000L))
     ds.select(col("source"), col("tokens"),
         encode_tokens(col("tokens")).as("enc"))
       .withColumn("back", decode_tokens(col("enc")))
@@ -144,11 +160,41 @@ object EngineQueries {
       .agg(
         count(lit(1)).as("n_rows"),
         sum(expr("4 * size(tokens)")).as("raw_bytes"),
-        sum(length(col("enc"))).as("enc_bytes"),
         sum(when(expr("tokens <=> back"), lit(0)).otherwise(lit(1)))
           .as("mismatches"))
       .orderBy(col("source"))
   }
+
+  val encodeExprSql: String =
+    """SELECT source, count(*) AS n_rows,
+      |  CAST(sum(4 * len(tokens)) AS BIGINT) AS raw_bytes,
+      |  CAST(0 AS BIGINT) AS mismatches
+      |FROM read_parquet('/root/repo/data/oracle/corpus_n5000.parquet/*.parquet')
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  val tokenStatsSql: String =
+    """WITH c AS (
+      |  SELECT * FROM read_parquet('/root/repo/data/oracle/corpus_n5000.parquet/*.parquet')),
+      |flat AS (SELECT source, unnest(tokens) AS tok FROM c),
+      |per_tok AS (
+      |  SELECT source, count(DISTINCT tok) AS "distinct",
+      |         min(tok) AS "min", max(tok) AS "max"
+      |  FROM flat GROUP BY source),
+      |per_row AS (
+      |  SELECT source, count(*) AS n_rows, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+      |         CAST(sum(row_runs) AS BIGINT) AS run_count,
+      |         CAST(max(row_max_run) AS BIGINT) AS max_run
+      |  FROM c GROUP BY source)
+      |SELECT r.source, r.n_rows, r.n_tokens, t."min", t."max", r.run_count,
+      |  r.max_run, t."distinct",
+      |  round(CAST(r.n_tokens AS DOUBLE) / r.run_count, 3) AS mean_run
+      |FROM per_row r JOIN per_tok t USING (source) ORDER BY source""".stripMargin
+
+  val sourceDistinctTokensSql: String =
+    """SELECT source, count(DISTINCT tok) AS distinct_tokens
+      |FROM (SELECT source, unnest(tokens) AS tok
+      |      FROM read_parquet('/root/repo/data/oracle/corpus_n5000.parquet/*.parquet'))
+      |GROUP BY source ORDER BY source""".stripMargin
 
   /** Lineage roundtrip as a query: encode to a scratch dir, resume (no-op),
     * decode back, report counts — the A22 unconsumed-input analog. */

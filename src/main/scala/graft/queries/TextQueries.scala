@@ -61,21 +61,34 @@ object TextQueries {
   /** BPE-ish token counting: a GPT-2-style pre-tokenizer regex (contraction
     * splits, letter runs, digit runs, punctuation runs, whitespace) counted
     * per document — the realistic token-budget estimator next to the plain
-    * whitespace count. Rows-only (regex dialects differ across engines). */
+    * whitespace count. Oracled against an INDEPENDENT Python implementation
+    * of the same public regex (tools/gen_doc_fixtures.py ->
+    * golden/doc_fixtures_sf0.01.parquet). */
   def tokenCountBpe(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     docs(s, dir).select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .map { case (id, text) =>
-        (id, BpeCount.count(text), text.split(" ").length.toLong) }
+        (id, BpeCount.count(text), text.count(_ == ' ').toLong + 1L) }
       .toDF("doc_id", "bpe_tokens", "ws_tokens")
       .orderBy(col("doc_id"))
   }
 
+  val tokenCountBpeSql: String =
+    """SELECT d.doc_id, f.bpe_tokens,
+      |  CAST(length(d.text) - length(replace(d.text, ' ', '')) + 1 AS BIGINT)
+      |    AS ws_tokens
+      |FROM documents d
+      |JOIN read_parquet('/root/repo/golden/doc_fixtures_sf0.01.parquet') f
+      |  USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   /** Language-ID: deterministic char-bigram profile scoring (n-gram
     * heuristic). The driver corpus's lang labels are independent of content
     * (same vocabulary for every lang), so accuracy is chance — the operator
-    * and its distributed shape are what matter. Rows-only (not SQL). */
+    * and its distributed shape are what matter. Oracled against an
+    * independent Python replication of the scorer (fixture `predicted`
+    * column). */
   def langId(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     docs(s, dir).select(col("lang"), col("text")).as[(String, String)]
@@ -86,8 +99,17 @@ object TextQueries {
       .orderBy(col("lang"), col("predicted"))
   }
 
+  val langIdSql: String =
+    """SELECT d.lang, f.predicted, count(*) AS n
+      |FROM documents d
+      |JOIN read_parquet('/root/repo/golden/doc_fixtures_sf0.01.parquet') f
+      |  USING (doc_id)
+      |GROUP BY d.lang, f.predicted
+      |ORDER BY d.lang, f.predicted""".stripMargin
+
   /** Document fingerprinting: 64-bit polynomial rolling hash of the text
-    * (content-defined identity for dedup lineage). Rows-only. */
+    * (content-defined identity for dedup lineage). Oracled against an
+    * independent Python FNV implementation (fixture `fingerprint`). */
   def fingerprint(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     docs(s, dir).select(col("doc_id"), col("text")).as[(Long, String)]
@@ -95,6 +117,13 @@ object TextQueries {
       .toDF("doc_id", "fingerprint", "n_chars")
       .orderBy(col("doc_id"))
   }
+
+  val fingerprintSql: String =
+    """SELECT d.doc_id, f.fingerprint, length(d.text) AS n_chars
+      |FROM documents d
+      |JOIN read_parquet('/root/repo/golden/doc_fixtures_sf0.01.parquet') f
+      |  USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
 }
 
 /** GPT-2-style pre-tokenizer counter (public regex shape from the GPT-2
@@ -124,12 +153,13 @@ object LangId {
       val bg = (text.charAt(i).toInt << 16) | text.charAt(i + 1).toInt
       var l = 0
       while (l < langs.length) {
-        // splitmix of (bigram, lang) -> pseudo-weight in [-1, 1)
+        // splitmix of (bigram, lang) -> pseudo-weight in [0, 1); unsigned
+        // shift, or every weight collapses into [-2, 0)
         var z = bg.toLong ^ (l.toLong * 0x9E3779B97F4A7C15L)
         z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
         z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
         z ^= z >>> 31
-        scores(l) += (z >> 11).toDouble * 1.1102230246251565e-16
+        scores(l) += (z >>> 11).toDouble * 1.1102230246251565e-16
         l += 1
       }
       i += 2

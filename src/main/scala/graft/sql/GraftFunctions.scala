@@ -50,13 +50,13 @@ object GraftFunctions {
     graft.codec.TokenCodec.decodeOrThrow(bytes)
 
   /** str-input one-shot, the `pyppmd.compress(str)` / `decompress_str`
-    * analog (`__init__.py:83,144-145,205-219`): UTF-8 encode, then the
+    * analog (`__init__.py:83,144-145,205-219`): charset encode (UTF-8
+    * default, like the reference's `encoding=` parameter), then the
     * byte-stream codec (FSST). */
-  def compressText(text: String): Array[Byte] =
-    graft.codec.Fsst.encode(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-  def decompressText(bytes: Array[Byte]): String =
-    new String(graft.codec.Fsst.decode(bytes),
-      java.nio.charset.StandardCharsets.UTF_8)
+  def compressText(text: String, encoding: String = "UTF-8"): Array[Byte] =
+    graft.codec.Fsst.encode(text.getBytes(encoding))
+  def decompressText(bytes: Array[Byte], encoding: String = "UTF-8"): String =
+    new String(graft.codec.Fsst.decode(bytes), encoding)
 
   // codegen-callable kernels (static-shaped entry points)
   def encodeKernel(arr: ArrayData): Array[Byte] =

@@ -41,9 +41,15 @@ object StreamingEncoder {
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: Dataset[SeqRow], batchId: Long) =>
-        // clear a half-written retry target first (idempotent re-run)
         val sub = f"$dir/batch=$batchId%05d"
-        Lineage.encodeToDir(batch, sub, cfg)
+        // Lineage resume needs explicit deterministic partitioning; when the
+        // caller left it open, pin it to the cluster's parallelism — stable
+        // for the lifetime of a deployment, which is what a batch retry sees.
+        val bcfg =
+          if (cfg.numPartitions > 0) cfg
+          else cfg.copy(numPartitions =
+            batch.sparkSession.sparkContext.defaultParallelism)
+        Lineage.encodeToDir(batch, sub, bcfg)
         ()
       }
 
@@ -52,8 +58,8 @@ object StreamingEncoder {
     * arrival passes through, replays/duplicates in ANY later micro-batch are
     * dropped. This is the streaming-ingest guard of a training pipeline —
     * the reference's incremental "model remembers what it has seen" recast
-    * as explicit keyed state. State per key is one boolean (bounded); at
-    * scale you'd add a state TTL via GroupStateTimeout. */
+    * as explicit keyed state. State per key is one boolean; over an
+    * unbounded stream use dedupStreamTtl so total state stays bounded. */
   def dedupStream(rows: Dataset[SeqRow]): Dataset[SeqRow] = {
     val spark = rows.sparkSession
     import spark.implicits._
@@ -67,6 +73,32 @@ object StreamingEncoder {
           else {
             state.update(true)
             it.take(1) // first occurrence only (also dedups within the batch)
+          }
+        })
+  }
+
+  /** dedupStream with bounded state: each key's seen-bit expires `ttl`
+    * after its last sighting (ProcessingTimeTimeout), so state size tracks
+    * the de-dup horizon, not the stream's lifetime — the policy production
+    * ingest dedup uses (exact within a window, best-effort beyond it). A
+    * duplicate arriving after the TTL is treated as new. */
+  def dedupStreamTtl(rows: Dataset[SeqRow], ttl: String): Dataset[SeqRow] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    rows
+      .groupByKey(r => ContentKey.of(r))
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.ProcessingTimeTimeout())(
+        (_: Long, it: Iterator[SeqRow], state: GroupState[Boolean]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else if (state.exists) {
+            state.setTimeoutDuration(ttl) // sighting refreshes the horizon
+            Iterator.empty
+          } else {
+            state.update(true)
+            state.setTimeoutDuration(ttl)
+            it.take(1)
           }
         })
   }

@@ -58,6 +58,31 @@ class DedupDetectionSpec extends AnyFunSuite {
     assert(jac(gBase, Shingles.charShingles(unrelated, 4)) < 0.1)
   }
 
+  test("max-bucket guard bounds a pathological 10k-copy hot bucket") {
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    // 10k byte-identical copies: every band bucket holds all 10k docs —
+    // ungated, the self-join would expand to ~5*10^7 pairs in one reducer
+    val copies = (0L until 10000L).map(i =>
+      (i, base, "en", "src0", base.length.toLong))
+    val docs = (copies :+ ((10000L, nearDup, "en", "src0", nearDup.length.toLong)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("dedup-hot").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+    val t0 = System.nanoTime()
+    val out = DedupQueries.dedupMinhash(spark, dir).collect()
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(out.length == 10001)
+    // the hot bucket was dropped: candidate counts stay bounded by the guard
+    val maxCand = out.map(r => r.getLong(2)).max
+    assert(maxCand <= DedupQueries.MaxBucket.toLong * 8,
+      s"guard failed: $maxCand candidates")
+    // exact copies remain the job of dedup_exact — prove it catches them
+    val exact = DedupQueries.dedupExact(spark, dir).collect()(0)
+    assert(exact.getLong(3) == 9999L, s"redundant_docs: $exact") // 10k copies - keeper
+    info(f"10k-copy corpus completed in $sec%.1fs, max candidates $maxCand")
+  }
+
   test("spark-side minhash query surfaces an injected near-dup pair") {
     val spark = graft.SparkTestSession.spark
     import spark.implicits._

@@ -19,6 +19,18 @@ class QueriesSpec extends AnyFunSuite {
     assert(got == naive)
   }
 
+  test("approx distinct lands within 5% of the exact salted distinct") {
+    val exact = EngineQueries.sourceDistinctTokens(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = EngineQueries.sourceApproxDistinctTokens(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (src, ex) =>
+      val ap = approx(src)
+      assert(math.abs(ap - ex).toDouble / ex < 0.05, s"$src: $ap vs $ex")
+    }
+  }
+
   test("entry() returns rows with zero mismatches") {
     val out = graft.SparkEntry.entry(spark).collect()
     assert(out.nonEmpty)

@@ -55,6 +55,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.map(_.getString(0)).distinct.length == 60)
   }
 
+  test("dedup TTL: keyed state expires, late duplicates pass as new") {
+    // AvailableNow runs with a shared checkpoint: each phase drains what is
+    // queued and stops (a continuously-triggered query with processing-time
+    // timeouts re-batches on every deadline, which starves
+    // processAllAvailable). State persists across restarts via the
+    // checkpoint; expired keys are evicted by the next phase's batches.
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val ckpt = Files.createTempDirectory("graft-ttl-ckpt").toString
+    val input = MemoryStream[SeqRow] // ONE source: offsets span all phases
+    val a = (0L until 10L).map(i => Corpus.row(42L, i))
+    val b = Seq(Corpus.row(42L, 100L))
+    // each phase drains newly-queued data and stops; the sink is
+    // foreachBatch (the memory sink refuses checkpoint recovery) collecting
+    // into a driver buffer, and the return value is the rows THIS phase let
+    // through
+    val sunk = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    def phase(data: Seq[SeqRow]): Seq[String] = {
+      val before = sunk.size()
+      input.addData(data)
+      val q = StreamingEncoder.dedupStreamTtl(input.toDS(), "50 milliseconds")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[SeqRow], _: Long) =>
+          batch.collect().foreach(r => sunk.add(r.doc_id)); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      // AvailableNow + processing-time timeouts can keep scheduling no-data
+      // batches for pending deadlines after the data drained (and
+      // processAllAvailable never sees a quiescent moment) — poll progress
+      // until the data batch committed, then stop the query explicitly
+      val deadline = System.currentTimeMillis + 60000
+      while (System.currentTimeMillis < deadline &&
+             q.recentProgress.map(_.numInputRows).sum < data.length)
+        Thread.sleep(100)
+      q.stop()
+      q.awaitTermination(120000)
+      import scala.jdk.CollectionConverters._
+      sunk.iterator().asScala.toSeq.drop(before)
+    }
+    assert(phase(a ++ a.take(3)).length == 10) // within-batch dups suppressed
+    Thread.sleep(300) // let the 50ms TTL lapse in wall clock
+    // this phase carries unrelated data; its batch evicts the expired keys
+    assert(phase(b).length == 1)
+    val third = phase(a.take(5)) // same contents, state expired -> pass again
+    assert(third.length == 5, s"expected expired keys to pass: $third")
+    assert(third.contains(a.head.doc_id))
+  }
+
   test("watermarked windowed aggregation over a rate-like stream") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
