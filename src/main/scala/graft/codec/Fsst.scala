@@ -13,15 +13,22 @@ import java.util.zip.CRC32
   * (`/root/reference/src/pyppmd/__init__.py:83,144-145`), except we use a
   * static per-chunk table instead of an adaptive byte model.
   *
-  * Framing: [magic 'G','S'][mode u8: 0=raw 1=fsst 2=fsst+packed]
+  * Framing: [magic 'G','S'][mode u8: 0=raw 1=fsst 2=fsst+packed
+  *          3=fsst+huffman 4=huffman]
   *          [varint rawLen]
   *          mode 1: [u8 nSymbols][per symbol: u8 len, bytes][code bytes]
   *          mode 2: [u8 nSymbols][symbols][TokenCodec frame over the code
-  *                  stream] — second-stage coding: the code stream usually
-  *                  touches far fewer than 256 distinct values, so the
-  *                  dict/bit-pack codecs shave it below 8 bits per code
+  *                  stream] — the code stream usually touches far fewer
+  *                  than 256 distinct values, so dict/bit-pack shave it
+  *                  below 8 bits per code
+  *          mode 3: [u8 nSymbols][symbols][Huffman block over the code
+  *                  stream] — order-0 entropy stage for text-like data
+  *                  where code frequencies are skewed, not sparse
+  *          mode 4: [Huffman block over the raw bytes] (no table wins)
   *          mode 0: [raw bytes]
   *          [crc32 LE of all previous bytes]
+  * The encoder computes every applicable mode and keeps the smallest; raw
+  * is the ceiling, so output never expands beyond header + rawLen.
   */
 object Fsst {
   final val EscapeCode = 255
@@ -211,20 +218,29 @@ object Fsst {
         while (i < packed.length) { ints(i) = packed(i) & 0xff; i += 1 }
         TokenCodec.encodeAutoFlat(ints)
       }
+    val packed3 = if (packed == null) null else Huffman.encode(packed)
+    val packed4 = if (data.length >= 256) Huffman.encode(data) else null
     val size1 = if (packed == null) Int.MaxValue else tableLen + packed.length
     val size2 = if (packed2 == null) Int.MaxValue else tableLen + packed2.length
+    val size3 = if (packed3 == null) Int.MaxValue else tableLen + packed3.length
+    val size4 = if (packed4 == null) Int.MaxValue else packed4.length
+    val best = math.min(math.min(size1, size2), math.min(size3, size4))
     val mode =
-      if (size2 < size1 && size2 < data.length) 2
-      else if (size1 < data.length) 1
-      else 0
+      if (best >= data.length) 0
+      else if (best == size3) 3
+      else if (best == size2) 2
+      else if (best == size4) 4
+      else 1
     val bos = new java.io.ByteArrayOutputStream()
     bos.write(MagicG); bos.write(MagicS)
     bos.write(mode)
     writeVarint(bos, data.length.toLong)
-    if (mode > 0) {
+    if (mode == 4) {
+      bos.write(packed4, 0, packed4.length)
+    } else if (mode > 0) {
       bos.write(table.symbols.length)
       table.symbols.foreach { s => bos.write(s.length); bos.write(s, 0, s.length) }
-      val p = if (mode == 2) packed2 else packed
+      val p = if (mode == 3) packed3 else if (mode == 2) packed2 else packed
       bos.write(p, 0, p.length)
     } else {
       bos.write(data, 0, data.length)
@@ -253,7 +269,11 @@ object Fsst {
       case 0 =>
         if (r.pos + rawLen > end) throw TruncatedException
         java.util.Arrays.copyOfRange(bytes, r.pos, r.pos + rawLen)
-      case 1 | 2 =>
+      case 4 =>
+        val out = Huffman.decode(bytes, r.pos, end)
+        if (out.length != rawLen) throw CorruptException("huffman raw length")
+        out
+      case 1 | 2 | 3 =>
         if (r.pos >= end) throw TruncatedException
         val nSym = bytes(r.pos) & 0xff
         var p = r.pos + 1
@@ -270,7 +290,10 @@ object Fsst {
         }
         if (mode == 1)
           decompressWith(new SymbolTable(symbols), bytes, p, end, rawLen)
-        else {
+        else if (mode == 3) {
+          val stream = Huffman.decode(bytes, p, end)
+          decompressWith(new SymbolTable(symbols), stream, 0, stream.length, rawLen)
+        } else {
           // unpack the second-stage code stream back to bytes first
           val codes = TokenCodec.decodeRange(bytes, p, end) match {
             case Decoded(v) => v

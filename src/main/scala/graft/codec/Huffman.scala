@@ -1,0 +1,202 @@
+package graft.codec
+
+/** Canonical static Huffman coder over a byte alphabet (0..255) — the
+  * entropy stage behind FSST (Fsst mode 3). The reference's PPMd reaches
+  * ~0.15 on text by adaptive context modeling + range coding
+  * (`/root/reference/src/lib/ppmd/Ppmd7Enc.c`); this engine deliberately
+  * trades that for a static two-stage pipeline (symbol table + order-0
+  * entropy code) that is one sequential pass each way, branch-light, and
+  * trivially chunk-parallel — the Spark-side throughput/ratio point
+  * SURVEY.md §4.1 argues for.
+  *
+  * Format: [u8 maxLen][128 bytes: 256 code lengths as nibbles, 0 = absent]
+  *         [varint nSymbols][packed MSB-first canonical codes]
+  * Code lengths are capped at 15 by the classic frequency-halving retry.
+  */
+object Huffman {
+  final val MaxLen = 15
+
+  /** Code lengths (0 = unused) for the 256-symbol alphabet. */
+  def codeLengths(freq0: Array[Long]): Array[Int] = {
+    val freq = java.util.Arrays.copyOf(freq0, 256)
+    while (true) {
+      val lens = treeLengths(freq)
+      if (lens.forall(_ <= MaxLen)) return lens
+      // halve (keeping nonzero) and retry — flattens the distribution
+      var i = 0
+      while (i < 256) {
+        if (freq(i) > 0) freq(i) = (freq(i) + 1) >> 1
+        i += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def treeLengths(freq: Array[Long]): Array[Int] = {
+    // node arrays: 256 leaves + up to 255 internal
+    val n = 512
+    val parent = new Array[Int](n)
+    val weight = new Array[Long](n)
+    val pq = new java.util.PriorityQueue[Int](16,
+      (a: Int, b: Int) => {
+        val c = java.lang.Long.compare(weight(a), weight(b))
+        if (c != 0) c else Integer.compare(a, b) // deterministic ties
+      })
+    var i = 0
+    var leaves = 0
+    while (i < 256) {
+      if (freq(i) > 0) { weight(i) = freq(i); pq.add(i); leaves += 1 }
+      i += 1
+    }
+    val lens = new Array[Int](256)
+    if (leaves == 0) return lens
+    if (leaves == 1) { lens(pq.poll()) = 1; return lens }
+    var next = 256
+    while (pq.size() > 1) {
+      val a = pq.poll(); val b = pq.poll()
+      weight(next) = weight(a) + weight(b)
+      parent(a) = next; parent(b) = next
+      pq.add(next)
+      next += 1
+    }
+    val root = pq.poll()
+    i = 0
+    while (i < 256) {
+      if (freq(i) > 0) {
+        var d = 0
+        var node = i
+        while (node != root) { node = parent(node); d += 1 }
+        lens(i) = d
+      }
+      i += 1
+    }
+    lens
+  }
+
+  /** Canonical code values from lengths (symbols sorted by (len, symbol)). */
+  def canonicalCodes(lens: Array[Int]): Array[Int] = {
+    val codes = new Array[Int](256)
+    var code = 0
+    var len = 1
+    while (len <= MaxLen) {
+      var s = 0
+      while (s < 256) {
+        if (lens(s) == len) { codes(s) = code; code += 1 }
+        s += 1
+      }
+      code <<= 1
+      len += 1
+    }
+    codes
+  }
+
+  /** Encode `data` (bytes as symbols); returns the framed block. */
+  def encode(data: Array[Byte]): Array[Byte] = {
+    val freq = new Array[Long](256)
+    var i = 0
+    while (i < data.length) { freq(data(i) & 0xff) += 1; i += 1 }
+    val lens = codeLengths(freq)
+    val codes = canonicalCodes(lens)
+    val bos = new java.io.ByteArrayOutputStream(data.length / 2 + 160)
+    bos.write(MaxLen)
+    i = 0
+    while (i < 256) { // two nibbles per byte
+      bos.write((lens(i) << 4) | lens(i + 1))
+      i += 2
+    }
+    // varint symbol count
+    var v = data.length.toLong
+    while ((v & ~0x7fL) != 0L) { bos.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+    bos.write(v.toInt)
+    var acc = 0L
+    var nBits = 0
+    i = 0
+    while (i < data.length) {
+      val s = data(i) & 0xff
+      acc = (acc << lens(s)) | codes(s).toLong
+      nBits += lens(s)
+      while (nBits >= 8) {
+        nBits -= 8
+        bos.write(((acc >>> nBits) & 0xff).toInt)
+      }
+      i += 1
+    }
+    if (nBits > 0) bos.write(((acc << (8 - nBits)) & 0xff).toInt)
+    bos.toByteArray
+  }
+
+  /** Decode a block framed by encode() occupying [from, until). */
+  def decode(bytes: Array[Byte], from: Int, until: Int): Array[Byte] = {
+    if (until - from < 130) throw TruncatedException
+    var p = from + 1 // MaxLen byte (fixed, informational)
+    val lens = new Array[Int](256)
+    var i = 0
+    while (i < 256) {
+      val b = bytes(p) & 0xff
+      lens(i) = b >>> 4
+      lens(i + 1) = b & 0xf
+      i += 2
+      p += 1
+    }
+    // varint count
+    var n = 0L
+    var shift = 0
+    var more = true
+    while (more) {
+      if (p >= until) throw TruncatedException
+      val b = bytes(p) & 0xff
+      p += 1
+      n |= (b & 0x7fL) << shift
+      shift += 7
+      more = (b & 0x80) != 0
+      if (shift > 42) throw CorruptException("huffman count varint")
+    }
+    val count = n.toInt
+    if (count < 0) throw CorruptException("huffman count")
+    // canonical decode tables: for each length, first code and symbol base
+    val codes = canonicalCodes(lens)
+    val bySym = new Array[Array[Int]](MaxLen + 1) // len -> symbols in order
+    var len = 1
+    while (len <= MaxLen) {
+      val syms = (0 until 256).filter(lens(_) == len)
+      bySym(len) = syms.toArray
+      len += 1
+    }
+    val firstCode = new Array[Int](MaxLen + 1)
+    len = 1
+    while (len <= MaxLen) {
+      firstCode(len) =
+        if (bySym(len).nonEmpty) codes(bySym(len)(0)) else Int.MaxValue
+      len += 1
+    }
+    val out = new Array[Byte](count)
+    var acc = 0L
+    var nBits = 0
+    var o = 0
+    while (o < count) {
+      var l = 0
+      var code = 0
+      var found = false
+      while (!found) {
+        if (nBits == 0) {
+          if (p >= until) throw TruncatedException
+          acc = bytes(p) & 0xffL
+          p += 1
+          nBits = 8
+        }
+        nBits -= 1
+        code = (code << 1) | ((acc >>> nBits) & 1L).toInt
+        l += 1
+        if (l > MaxLen) throw CorruptException("huffman code overrun")
+        val syms = bySym(l)
+        if (syms.nonEmpty && code >= firstCode(l) &&
+            code - firstCode(l) < syms.length) {
+          out(o) = syms(code - firstCode(l)).toByte
+          o += 1
+          found = true
+        }
+      }
+    }
+    out
+  }
+}

@@ -42,7 +42,7 @@ object DedupQueries {
     s.read.parquet(s"$dir/documents.parquet")
 
   /** Exact dedup summary. The grouping key is sha2-256 of the text, not the
-    * text itself: the shuffle moves 32-byte digests instead of whole
+    * text itself: the shuffle moves 64-byte hex digests instead of whole
     * documents (at 100 TB that IS the job), and a 256-bit collision is
     * beyond cosmic-ray odds, so digest-distinct == text-distinct (the
     * DuckDB oracle groups by the raw text and must agree). */

@@ -21,6 +21,10 @@ object DrivePlanAudit {
       AnnQueries.annBruteForce(spark, sf))
     show("source_distinct_tokens (salted two-phase distinct)",
       EngineQueries.sourceDistinctTokens(spark, sf))
+    show("dedup_exact (32-byte digest shuffle key, not the document)",
+      DedupQueries.dedupExact(spark, sf))
+    show("dedup_minhash (max-bucket guard: aggregate + left-semi)",
+      DedupQueries.dedupMinhash(spark, sf))
     spark.stop()
   }
 }

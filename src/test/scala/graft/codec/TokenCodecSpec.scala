@@ -163,4 +163,46 @@ class FsstSpec extends AnyFunSuite with GenChecks {
     enc(enc.length / 2) = (enc(enc.length / 2) ^ 1).toByte
     intercept[Exception](Fsst.decode(enc))
   }
+
+  test("fsst entropy stage (mode 3) wins on text and roundtrips") {
+    val words = Array("the", "of", "compression", "spark", "token",
+      "column", "a", "entropy", "static", "chunk")
+    val rng = new graft.io.Corpus.Rng(9L)
+    val text = Array.fill(4000)(words(rng.nextInt(words.length)))
+      .mkString(" ").getBytes
+    val enc = Fsst.encode(text)
+    assert(enc(2) == 3, s"expected huffman mode, got mode ${enc(2)}")
+    assert(enc.length < text.length / 4, s"${enc.length} vs ${text.length}")
+    assert(Fsst.decode(enc).sameElements(text))
+  }
+}
+
+class HuffmanSpec extends AnyFunSuite with GenChecks {
+  test("huffman block roundtrips arbitrary byte strings") {
+    forAll(Gen.oneOf(
+      Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray),
+      Gen.listOf(Gen.oneOf('x'.toByte, 'y'.toByte)).map(_.toArray),
+      Gen.const(Array.fill(5000)('z'.toByte)),
+      Gen.const(Array.emptyByteArray))) { (data: Array[Byte]) =>
+      val enc = Huffman.encode(data)
+      assert(Huffman.decode(enc, 0, enc.length).sameElements(data))
+    }
+  }
+
+  test("huffman approaches the order-0 entropy bound on skewed data") {
+    // 90/10 two-symbol source: H ~= 0.469 bits/sym; huffman floor is 1
+    val rng = new graft.io.Corpus.Rng(7L)
+    val data = Array.fill(20000)(
+      if (rng.nextInt(10) == 0) 'b'.toByte else 'a'.toByte)
+    val enc = Huffman.encode(data)
+    // 1 bit/symbol + 130-byte header
+    assert(enc.length <= data.length / 8 + 140, s"${enc.length}")
+    assert(Huffman.decode(enc, 0, enc.length).sameElements(data))
+  }
+
+  test("huffman truncated block is Truncated, garbage lengths are Corrupt") {
+    val data = "abcabcabcaabbcc".getBytes
+    val enc = Huffman.encode(data)
+    intercept[Exception](Huffman.decode(enc, 0, enc.length - 1))
+  }
 }
