@@ -93,5 +93,10 @@ object SparkEntry {
     "doc_token_count_bpe" -> TextQueries.tokenCountBpeSql,
     "doc_fingerprint" -> TextQueries.fingerprintSql,
     "doc_langid" -> TextQueries.langIdSql,
+    // whole-operator replicas: tools/gen_ann_fixtures.py reimplements the
+    // LSH bucketing + cosine + guard from scratch in Python and pins the
+    // full expected output
+    "ann_lsh" -> AnnQueries.annLshSql,
+    "dedup_embedding" -> AnnQueries.dedupEmbeddingSql,
   )
 }

@@ -219,7 +219,7 @@ object Fsst {
         TokenCodec.encodeAutoFlat(ints)
       }
     val packed3 = if (packed == null) null else Huffman.encode(packed)
-    val packed4 = if (data.length >= 256) Huffman.encode(data) else null
+    val packed4 = if (data.length >= 64) Huffman.encode(data) else null
     val size1 = if (packed == null) Int.MaxValue else tableLen + packed.length
     val size2 = if (packed2 == null) Int.MaxValue else tableLen + packed2.length
     val size3 = if (packed3 == null) Int.MaxValue else tableLen + packed3.length

@@ -9,8 +9,11 @@ package graft.codec
   * trivially chunk-parallel — the Spark-side throughput/ratio point
   * SURVEY.md §4.1 argues for.
   *
-  * Format: [u8 maxLen][128 bytes: 256 code lengths as nibbles, 0 = absent]
+  * Format: [u8 lo][u8 cntMinus1][ceil(cnt/2) bytes: code lengths of symbols
+  *         lo..lo+cnt-1 as nibbles, 0 = absent]
   *         [varint nSymbols][packed MSB-first canonical codes]
+  * The [lo, cnt) range bounds the alphabet actually present, so a short
+  * lowercase-text block pays ~48 header bytes instead of 130.
   * Code lengths are capped at 15 by the classic frequency-halving retry.
   */
 object Huffman {
@@ -98,10 +101,19 @@ object Huffman {
     val lens = codeLengths(freq)
     val codes = canonicalCodes(lens)
     val bos = new java.io.ByteArrayOutputStream(data.length / 2 + 160)
-    bos.write(MaxLen)
-    i = 0
-    while (i < 256) { // two nibbles per byte
-      bos.write((lens(i) << 4) | lens(i + 1))
+    // alphabet range actually present (empty input -> degenerate [0,1) range)
+    var lo = 0
+    while (lo < 255 && lens(lo) == 0) lo += 1
+    var hi = 255
+    while (hi > lo && lens(hi) == 0) hi -= 1
+    val cnt = hi - lo + 1
+    bos.write(lo)
+    bos.write(cnt - 1)
+    i = lo
+    while (i <= hi) { // two nibbles per byte
+      val a = lens(i)
+      val b = if (i + 1 <= hi) lens(i + 1) else 0
+      bos.write((a << 4) | b)
       i += 2
     }
     // varint symbol count
@@ -127,14 +139,18 @@ object Huffman {
 
   /** Decode a block framed by encode() occupying [from, until). */
   def decode(bytes: Array[Byte], from: Int, until: Int): Array[Byte] = {
-    if (until - from < 130) throw TruncatedException
-    var p = from + 1 // MaxLen byte (fixed, informational)
+    if (until - from < 3) throw TruncatedException
+    val lo = bytes(from) & 0xff
+    val cnt = (bytes(from + 1) & 0xff) + 1
+    if (lo + cnt > 256) throw CorruptException("huffman alphabet range")
+    var p = from + 2
+    if (p + (cnt + 1) / 2 > until) throw TruncatedException
     val lens = new Array[Int](256)
     var i = 0
-    while (i < 256) {
+    while (i < cnt) {
       val b = bytes(p) & 0xff
-      lens(i) = b >>> 4
-      lens(i + 1) = b & 0xf
+      lens(lo + i) = b >>> 4
+      if (i + 1 < cnt) lens(lo + i + 1) = b & 0xf
       i += 2
       p += 1
     }

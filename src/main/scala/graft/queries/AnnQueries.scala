@@ -76,7 +76,8 @@ object AnnQueries {
   /** LSH-bucketed ANN: 8 deterministic random hyperplanes -> 8-bit bucket
     * (256 buckets); neighbors searched only within the query's bucket.
     * Reports per-query bucket size, found top-1, and whether it agrees with
-    * brute force (recall evidence). Rows-only. */
+    * brute force (recall evidence). Oracled against an independent Python
+    * replica of the whole operator (tools/gen_ann_fixtures.py). */
   def annLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = emb(s, dir).select(col("vec_id"),
@@ -112,6 +113,16 @@ object AnnQueries {
         "lsh_cos" -> 0.0))
       .orderBy(col("q_id"))
   }
+
+  val annLshSql: String =
+    """SELECT q_id, bucket_candidates, lsh_top1, lsh_cos
+      |FROM read_parquet('/root/repo/golden/ann_lsh_sf0.01.parquet')
+      |ORDER BY q_id""".stripMargin
+
+  val dedupEmbeddingSql: String =
+    """SELECT vec_id, bucket, n_near_dups, max_cos
+      |FROM read_parquet('/root/repo/golden/dedup_embedding_sf0.01.parquet')
+      |ORDER BY vec_id""".stripMargin
 
   /** IVF (inverted-file) ANN: coarse-quantize vectors to K centroids
     * (deterministic k-means: splitmix-seeded centroids + 2 Lloyd iterations
@@ -167,7 +178,8 @@ object AnnQueries {
   }
 
   /** Embedding near-dup: cosine >= 0.95 pairs found via LSH buckets;
-    * per-vector summary (never empty). A max-bucket guard drops buckets
+    * per-vector summary (never empty); oracled against the independent
+    * Python replica (incl. the guard). A max-bucket guard drops buckets
     * bigger than DedupQueries.MaxBucket before the self-join — one
     * degenerate bucket (the failure mode of fixed-plane LSH on clustered
     * embeddings) otherwise costs O(b^2) pairs in a single reducer. At
