@@ -97,6 +97,11 @@ object SparkEntry {
     // LSH bucketing + cosine + guard from scratch in Python and pins the
     // full expected output
     "ann_lsh" -> AnnQueries.annLshSql,
+    "ann_ivf" -> AnnQueries.annIvfSql,
     "dedup_embedding" -> AnnQueries.dedupEmbeddingSql,
+    "multimodal_features" -> MultimodalQueries.multimodalFeaturesSql,
+    "dedup_minhash" -> DedupQueries.dedupMinhashSql,
+    "dedup_simhash" -> DedupQueries.dedupSimhashSql,
+    "dedup_ngram" -> DedupQueries.dedupNgramSql,
   )
 }

@@ -114,6 +114,12 @@ object AnnQueries {
       .orderBy(col("q_id"))
   }
 
+  val annIvfSql: String =
+    """SELECT q_id, ivf_top1, ivf_cos, brute_top1, probed_candidates,
+      |  top1_agrees
+      |FROM read_parquet('/root/repo/golden/ann_ivf_sf0.01.parquet')
+      |ORDER BY q_id""".stripMargin
+
   val annLshSql: String =
     """SELECT q_id, bucket_candidates, lsh_top1, lsh_cos
       |FROM read_parquet('/root/repo/golden/ann_lsh_sf0.01.parquet')
@@ -142,9 +148,13 @@ object AnnQueries {
     // Deterministic coarse quantizer trained on an O(k) sample: modulo
     // thinning for spread, then a HARD row cap before the collect — the
     // driver sees at most k*128 vectors no matter how large the table is
-    // (k-means init/refinement only needs O(k) points, not O(N)).
+    // (k-means init/refinement only needs O(k) points, not O(N)). The
+    // collected sample is sorted by vec_id so training does not depend on
+    // partition/arrival order (limit's pick is layout-dependent; the sort
+    // pins everything after it).
     val k = 16
-    val sample = e.filter(_._1 % 7 == 0).map(_._2).limit(k * 128).collect()
+    val sample = e.filter(_._1 % 7 == 0).limit(k * 128).collect()
+      .sortBy(_._1).map(_._2)
     val centroids = Ivf.train(sample, k = k, iters = 2)
     val bcCentroids = s.sparkContext.broadcast(centroids)
     val assigned = e.map { case (id, v) =>

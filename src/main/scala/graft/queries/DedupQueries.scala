@@ -67,6 +67,24 @@ object DedupQueries {
       |    AS redundant_docs
       |FROM g""".stripMargin
 
+  // Whole-operator oracle twins: tools/gen_dedup_fixtures.py reimplements
+  // shingling, minhash band keys, simhash, the guard, and exact Jaccard in
+  // Python from scratch and pins the expected outputs at sf0.01.
+  val dedupMinhashSql: String =
+    """SELECT doc_id, n_shingles, n_candidates, best_jaccard
+      |FROM read_parquet('/root/repo/golden/dedup_minhash_sf0.01.parquet')
+      |ORDER BY doc_id""".stripMargin
+
+  val dedupSimhashSql: String =
+    """SELECT doc_id, simhash, n_near, min_hamming
+      |FROM read_parquet('/root/repo/golden/dedup_simhash_sf0.01.parquet')
+      |ORDER BY doc_id""".stripMargin
+
+  val dedupNgramSql: String =
+    """SELECT doc_id, n_ngrams, n_candidates, best_ngram_jaccard
+      |FROM read_parquet('/root/repo/golden/dedup_ngram_sf0.01.parquet')
+      |ORDER BY doc_id""".stripMargin
+
   /** Per-doc word 3-shingle set, hashed to longs (shared by the near-dup
     * family). */
   private def shingled(s: SparkSession, dir: String): DataFrame = {
@@ -258,7 +276,7 @@ object Shingles {
         val w = words(i + j)
         var c = 0
         while (c < w.length) { h = (h ^ w.charAt(c)) * 1099511628211L; c += 1 }
-        h = (h ^ ' ') * 1099511628211L
+        h = (h ^ ' ') * 1099511628211L
         j += 1
       }
       set.add(h)

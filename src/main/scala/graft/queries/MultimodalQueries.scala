@@ -49,6 +49,14 @@ object MultimodalQueries {
       .orderBy(col("modality"))
   }
 
+  /** Oracle twin: an independent Python replica of the stub extractor and
+    * the rollup (tools/gen_ivf_multimodal_fixtures.py) pins the expected
+    * output at sf0.01. */
+  val multimodalFeaturesSql: String =
+    """SELECT modality, n, total_bytes, avg_entropy, max_width
+      |FROM read_parquet('/root/repo/golden/multimodal_sf0.01.parquet')
+      |ORDER BY modality""".stripMargin
+
   /** STUB decoder — deterministic fake in place of a real image/audio codec
     * (none available in this container). A real deployment swaps `extract`
     * for the actual decode + feature model; the Spark plumbing is unchanged. */
