@@ -19,15 +19,12 @@ object AnnQueries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
-  /** Cosine similarity as a codegen'd expression tree over two double
-    * arrays (functions.aggregate + zip_with, no UDF). */
-  private def cosineExpr(a: String, b: String) = {
-    val dot = aggregate(zip_with(col(a), col(b), (x, y) => x * y),
-      lit(0.0d), (acc, x) => acc + x)
-    val na = sqrt(aggregate(col(a), lit(0.0d), (acc, x) => acc + x * x))
-    val nb = sqrt(aggregate(col(b), lit(0.0d), (acc, x) => acc + x * x))
-    dot / greatest(na * nb, lit(1e-12d))
-  }
+  /** Cosine similarity as a native codegen'd expression (CosineSim): one
+    * tight primitive loop inside WholeStageCodegen, numerically identical
+    * to the zip_with/aggregate HOF tree it replaced (same accumulation
+    * order), which paid per-element interpreted-lambda overhead. */
+  private def cosineExpr(a: String, b: String) =
+    graft.sql.GraftFunctions.cosine_sim(col(a), col(b))
 
   /** Brute-force exact top-5 cosine neighbors for query vectors
     * (vec_id < 5), excluding self. */
@@ -91,13 +88,7 @@ object AnnQueries {
         col("bucket").as("q_bucket"))
     val inBucket = e.join(broadcast(q), col("bucket") === col("q_bucket") &&
         col("vec_id") =!= col("q_id"))
-      .withColumn("cos", {
-        val dot = aggregate(zip_with(col("q_vec"), col("vec"), (x, y) => x * y),
-          lit(0.0d), (acc, x) => acc + x)
-        val na = sqrt(aggregate(col("q_vec"), lit(0.0d), (acc, x) => acc + x * x))
-        val nb = sqrt(aggregate(col("vec"), lit(0.0d), (acc, x) => acc + x * x))
-        dot / greatest(na * nb, lit(1e-12d))
-      })
+      .withColumn("cos", cosineExpr("q_vec", "vec"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
     val top = inBucket.withColumn("rank", row_number().over(w))
@@ -207,13 +198,8 @@ object AnnQueries {
     val a = guarded.as("a"); val b = guarded.as("b")
     val pairs = a.join(b, col("a.bucket") === col("b.bucket") &&
         col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos", {
-        val dot = aggregate(zip_with(col("a.vec"), col("b.vec"), (x, y) => x * y),
-          lit(0.0d), (acc, x) => acc + x)
-        val na = sqrt(aggregate(col("a.vec"), lit(0.0d), (acc, x) => acc + x * x))
-        val nb = sqrt(aggregate(col("b.vec"), lit(0.0d), (acc, x) => acc + x * x))
-        dot / greatest(na * nb, lit(1e-12d))
-      })
+      .withColumn("cos",
+        graft.sql.GraftFunctions.cosine_sim(col("a.vec"), col("b.vec")))
       .filter(col("cos") >= lit(0.95d))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
         col("cos"))

@@ -58,11 +58,36 @@ object GraftFunctions {
   def decompressText(bytes: Array[Byte], encoding: String = "UTF-8"): String =
     new String(graft.codec.Fsst.decode(bytes), encoding)
 
+  /** Codegen'd cosine similarity over two array<double> columns — replaces
+    * the zip_with/aggregate higher-order-function tree, whose lambdas are
+    * interpreted per element; this stays a tight primitive loop inside
+    * WholeStageCodegen. Numerics are IDENTICAL to the HOF form (same
+    * accumulation order, same 1e-12 denominator floor), so the pinned
+    * similarity oracles are unaffected. */
+  def cosine_sim(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineSim(ColumnBridge.expression(a),
+      ColumnBridge.expression(b)))
+
   // codegen-callable kernels (static-shaped entry points)
   def encodeKernel(arr: ArrayData): Array[Byte] =
     graft.codec.TokenCodec.encodeAuto(arr.toIntArray())
   def decodeKernel(bytes: Array[Byte]): ArrayData =
     new GenericArrayData(graft.codec.TokenCodec.decodeOrThrow(bytes))
+  def cosineKernel(a: ArrayData, b: ArrayData): Double = {
+    val an = a.numElements()
+    val bn = b.numElements()
+    val n = math.min(an, bn)
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += a.getDouble(i) * b.getDouble(i); i += 1 }
+    var na = 0.0
+    i = 0
+    while (i < an) { val x = a.getDouble(i); na += x * x; i += 1 }
+    var nb = 0.0
+    i = 0
+    while (i < bn) { val x = b.getDouble(i); nb += x * x; i += 1 }
+    dot / math.max(math.sqrt(na) * math.sqrt(nb), 1e-12)
+  }
 }
 
 /** array<int> -> binary. Codegen emits a direct static call into the kernel,
@@ -108,6 +133,31 @@ case class DecodeTokens(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): DecodeTokens =
     copy(child = c)
   override def prettyName: String = "decode_tokens"
+}
+
+/** (array<double>, array<double>) -> double cosine similarity; codegen
+  * emits a direct static call, keeping the whole scoring pipeline inside
+  * one WholeStageCodegen span. */
+case class CosineSim(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"cosine_sim needs two array<double>, got ${l.sql}, ${r.sql}")
+    }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GraftFunctions.cosineKernel(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.sql.GraftFunctions.cosineKernel($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "cosine_sim"
 }
 
 /** decode_tokens(encode_tokens(x)) == x by the roundtrip identity the test

@@ -51,6 +51,36 @@ class SqlSpec extends AnyFunSuite {
     assert(df.select(sum(length(col("b")))).first().getLong(0) > 0)
   }
 
+  test("cosine_sim matches the HOF formulation bit-exactly and codegens") {
+    import org.apache.spark.sql.functions.{aggregate, zip_with, sqrt, greatest, lit, abs}
+    val vecs = Seq(
+      (Array(1.0, 2.0, 3.0), Array(3.0, 2.0, 1.0)),
+      (Array(0.0, 0.0), Array(0.0, 0.0)), // zero norm -> 1e-12 floor
+      (Array(0.25, -0.5, 0.125, 9.0), Array(-1.0, 2.5, 0.75, 0.001)))
+      .toDF("a", "b")
+    val hof = {
+      val dot = aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0d), (acc, x) => acc + x)
+      val na = sqrt(aggregate(col("a"), lit(0.0d), (acc, x) => acc + x * x))
+      val nb = sqrt(aggregate(col("b"), lit(0.0d), (acc, x) => acc + x * x))
+      dot / greatest(na * nb, lit(1e-12d))
+    }
+    val out = vecs.select(GraftFunctions.cosine_sim(col("a"), col("b")).as("k"),
+      hof.as("h"))
+    out.collect().foreach(r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)), r.toString))
+    // codegen check needs a distributed source (a local relation collapses
+    // to LocalTableScan with no codegen stage at all)
+    val ds = graft.io.Corpus.table(spark, 20, partitions = 1)
+      .selectExpr("transform(tokens, t -> cast(t as double)) as a")
+      .select(col("a"), col("a").as("b"))
+    val plan2 = ds.select(GraftFunctions.cosine_sim(col("a"), col("b")))
+      .queryExecution.executedPlan.toString
+    assert(plan2.linesIterator.next().trim.startsWith("*("),
+      s"cosine_sim projection not codegen'd:\n$plan2")
+  }
+
   test("corrupt binary fails decode_tokens (reference ValueError analog)") {
     val bad = Seq(Tuple1(Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12)))
       .toDF("b")
