@@ -36,3 +36,62 @@ object ParquetTableIO extends TableIO {
     spark.read.parquet(path).as[EncodedChunk]
   }
 }
+
+/** Path-based ORC tables — same columnar guarantees as Parquet (binary
+  * columns, predicate pushdown); one-line swap of the format. */
+object OrcTableIO extends TableIO {
+  override def readSequences(spark: SparkSession, path: String): Dataset[SeqRow] = {
+    import spark.implicits._
+    spark.read.orc(path)
+      .select("doc_id", "tokens", "n_tok", "source")
+      .as[SeqRow]
+  }
+
+  override def writeChunks(chunks: Dataset[EncodedChunk], path: String): Unit =
+    chunks.write.mode(SaveMode.Overwrite).orc(path)
+
+  override def readChunks(spark: SparkSession, path: String): Dataset[EncodedChunk] = {
+    import spark.implicits._
+    spark.read.orc(path).as[EncodedChunk]
+  }
+}
+
+/** JSON-lines tables — the interchange format. JSON has no binary type, so
+  * chunk payload/meta ride as base64 strings (encoded on write, decoded on
+  * read); token arrays are native JSON arrays. Row-oriented text: use for
+  * ingest/debug, not as the at-scale storage layer. */
+object JsonTableIO extends TableIO {
+  import org.apache.spark.sql.functions.{base64, col, unbase64}
+
+  override def readSequences(spark: SparkSession, path: String): Dataset[SeqRow] = {
+    import spark.implicits._
+    spark.read
+      .schema("doc_id STRING, tokens ARRAY<INT>, n_tok INT, source STRING")
+      .json(path)
+      .select("doc_id", "tokens", "n_tok", "source")
+      .as[SeqRow]
+  }
+
+  override def writeChunks(chunks: Dataset[EncodedChunk], path: String): Unit =
+    chunks.toDF()
+      .withColumn("payload", base64(col("payload")))
+      .withColumn("meta", base64(col("meta")))
+      .write.mode(SaveMode.Overwrite).json(path)
+
+  override def readChunks(spark: SparkSession, path: String): Dataset[EncodedChunk] = {
+    import spark.implicits._
+    spark.read.json(path)
+      .withColumn("payload", unbase64(col("payload")))
+      .withColumn("meta", unbase64(col("meta")))
+      .select("chunk_id", "part_id", "seq", "codec", "n_rows", "n_tokens",
+        "raw_bytes", "enc_bytes", "crc32", "min_doc_id", "max_doc_id",
+        "payload", "meta")
+      .selectExpr("CAST(chunk_id AS LONG) chunk_id",
+        "CAST(part_id AS INT) part_id", "CAST(seq AS INT) seq",
+        "CAST(codec AS INT) codec", "CAST(n_rows AS INT) n_rows",
+        "CAST(n_tokens AS LONG) n_tokens", "CAST(raw_bytes AS LONG) raw_bytes",
+        "CAST(enc_bytes AS LONG) enc_bytes", "CAST(crc32 AS LONG) crc32",
+        "min_doc_id", "max_doc_id", "payload", "meta")
+      .as[EncodedChunk]
+  }
+}

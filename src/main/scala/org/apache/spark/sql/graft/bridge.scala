@@ -12,3 +12,13 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** Test-only accessor for the private[sql] rule-builder so the suite can
+  * assert what a GraftExtensions injector wires up. */
+object ExtensionsBridge {
+  def optimizerRules(ext: org.apache.spark.sql.SparkSessionExtensions,
+                     session: org.apache.spark.sql.SparkSession)
+      : Seq[org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]] =
+    ext.buildOptimizerRules(session)
+}

@@ -28,4 +28,26 @@ class TableIOSpec extends AnyFunSuite {
       assert(decoded(id).tokens.sameElements(o.tokens), id)
     }
   }
+
+  test("orc and json TableIO implementations roundtrip identically") {
+    val ds = Corpus.table(spark, 200, partitions = 2)
+    val original = ds.collect().map(r => r.doc_id -> r).toMap
+    for ((io, write) <- Seq[(TableIO, (org.apache.spark.sql.Dataset[graft.engine.SeqRow], String) => Unit)](
+        (OrcTableIO, (d, p) => d.write.orc(p)),
+        (JsonTableIO, (d, p) => d.write.json(p)))) {
+      val seqPath = Files.createTempDirectory("graft-seq2").toString + "/t"
+      val chunkPath = Files.createTempDirectory("graft-chunks2").toString + "/t"
+      write(ds, seqPath)
+      val chunks = Encoder.encodeTable(io.readSequences(spark, seqPath),
+        EncoderConfig(chunkTokens = 8192, numPartitions = 2))
+      io.writeChunks(chunks, chunkPath)
+      val decoded = Decoder.decodeTable(io.readChunks(spark, chunkPath))
+        .collect().map(r => r.doc_id -> r).toMap
+      assert(decoded.keySet == original.keySet, io.getClass.getSimpleName)
+      original.foreach { case (id, o) =>
+        assert(decoded(id).tokens.sameElements(o.tokens),
+          s"${io.getClass.getSimpleName} $id")
+      }
+    }
+  }
 }
