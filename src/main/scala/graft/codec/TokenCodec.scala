@@ -13,12 +13,13 @@ object CodecId {
   final val Delta: Byte = 4    // zigzag varint deltas (sorted/sawtooth data)
   final val Blocks: Byte = 5   // composite: per-block codec selection
   final val VarInt: Byte = 6   // LEB128 per value (skewed small-value data)
+  final val HPack: Byte = 7    // entropy wrap: Huffman over an inner frame
   /** The flat (non-composite) codecs; Blocks composes these. */
   val all: Seq[Byte] = Seq(Raw, BitPack, Rle, Dict, Delta, VarInt)
   def name(id: Byte): String = id match {
     case Raw => "raw"; case BitPack => "bitpack"; case Rle => "rle"
     case Dict => "dict"; case Delta => "delta"; case Blocks => "blocks"
-    case VarInt => "varint"
+    case VarInt => "varint"; case HPack => "hpack"
     case _ => s"unknown($id)"
   }
 }
@@ -105,13 +106,39 @@ object TokenCodec {
       else BlockCodec.fixedSplits(values.length)
     val stats = ChunkStats.analyze(values, 0, values.length)
     val flatBest = stats.payloadSize(stats.bestCodec)
-    if (splits.length > 1) {
-      // encode block-wise once; the produced length IS the exact size, so no
-      // separate planning pass (each block is analyzed exactly once)
-      val payload = BlockCodec.encode(values, splits)
-      if (payload.length < flatBest) return frameBlocks(values.length, payload)
+    val inner = {
+      val blocked =
+        if (splits.length > 1) {
+          // encode block-wise once; the produced length IS the exact size,
+          // so no separate planning pass (each block is analyzed once)
+          val payload = BlockCodec.encode(values, splits)
+          if (payload.length < flatBest) frameBlocks(values.length, payload)
+          else null
+        } else null
+      if (blocked != null) blocked else encode(stats.bestCodec, values, stats)
     }
-    encode(stats.bestCodec, values, stats)
+    hpackMaybe(inner, values.length)
+  }
+
+  /** Optional entropy wrap (codec HPack): Huffman over the inner frame's
+    * bytes, kept only when it wins. The structural codecs leave skewed BYTE
+    * distributions behind (varint of zipf tokens concentrates first-byte
+    * values; bit-packed lanes repeat); a static order-0 code claws that
+    * back with one extra sequential pass each way. Framed like any codec so
+    * decode dispatch is uniform; never taken for small frames (header
+    * overhead) or incompressible ones. */
+  private def hpackMaybe(inner: Array[Byte], n: Int): Array[Byte] = {
+    if (inner.length < (1 << 10)) return inner
+    val packed = Huffman.encode(inner)
+    if (Overhead + packed.length >= inner.length) return inner
+    val out = new Array[Byte](Overhead + packed.length)
+    out(0) = MagicG; out(1) = MagicT; out(2) = CodecId.HPack
+    writeIntLE(out, 3, n)
+    System.arraycopy(packed, 0, out, HeaderLen, packed.length)
+    val crc = new CRC32
+    crc.update(out, 0, HeaderLen + packed.length)
+    writeIntLE(out, HeaderLen + packed.length, crc.getValue.toInt)
+    out
   }
 
   /** Auto-select among the flat codecs only; whole array. */
@@ -186,6 +213,17 @@ object TokenCodec {
       case CodecId.Delta   => decodeDelta(bytes, body, end, n, out)
       case CodecId.VarInt  => decodeVarint(bytes, body, end, n, out)
       case CodecId.Blocks  => BlockCodec.decode(bytes, body, end, n, out)
+      case CodecId.HPack =>
+        val inner = Huffman.decode(bytes, body, end)
+        if (inner.length >= 3 && inner(2) == CodecId.HPack)
+          throw CorruptException("nested hpack") // encoder never nests
+        decodeRange(inner, 0, inner.length) match {
+          case Decoded(v) =>
+            if (v.length != n) throw CorruptException("hpack count mismatch")
+            System.arraycopy(v, 0, out, 0, n)
+          case Truncated  => throw TruncatedException
+          case Corrupt(m) => throw CorruptException(m)
+        }
       case other => throw CorruptException(s"unknown codec $other")
     }
 

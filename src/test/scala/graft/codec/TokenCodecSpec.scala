@@ -164,6 +164,26 @@ class FsstSpec extends AnyFunSuite with GenChecks {
     intercept[Exception](Fsst.decode(enc))
   }
 
+  test("hpack entropy wrap shrinks zipf-ish chunks and roundtrips") {
+    // zipf-ish tokens: varint leaves a skewed byte stream behind
+    val rng = new graft.io.Corpus.Rng(11L)
+    val v = Array.fill(65536)(math.min(50256,
+      (math.pow(2.0, rng.nextInt(16).toDouble) - 1).toInt))
+    val enc = TokenCodec.encodeAuto(v)
+    val dec = TokenCodec.decodeOrThrow(enc)
+    assert(dec.sameElements(v))
+    if (enc(2) == CodecId.HPack) {
+      // the wrap must only ever be chosen when strictly smaller
+      val stats = ChunkStats.analyze(v)
+      assert(enc.length <
+        stats.payloadSize(stats.bestCodec) + TokenCodec.Overhead)
+    }
+    // corrupt wrap byte -> Corrupt, truncated -> Truncated/Corrupt
+    val bad = enc.clone()
+    bad(enc.length / 2) = (bad(enc.length / 2) ^ 0x5a).toByte
+    assert(TokenCodec.decode(bad).isInstanceOf[Corrupt])
+  }
+
   test("fsst entropy stage (mode 3) wins on text and roundtrips") {
     val words = Array("the", "of", "compression", "spark", "token",
       "column", "a", "entropy", "static", "chunk")
