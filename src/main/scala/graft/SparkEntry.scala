@@ -85,6 +85,9 @@ object SparkEntry {
     // to /root/repo/data/oracle/corpus_n5000.parquet (CorpusTable.ensure);
     // DuckDB recomputes over the identical bytes
     "token_stats" -> EngineQueries.tokenStatsSql,
+    "encode_roundtrip" -> EngineQueries.encodeRoundtripSql,
+    "encode_docs" -> EngineQueries.encodeDocsSql,
+    "lineage_roundtrip" -> EngineQueries.lineageRoundtripSql,
     "source_distinct_tokens" -> EngineQueries.sourceDistinctTokensSql,
     "encode_expr" -> EngineQueries.encodeExprSql,
     "dedup_tokens" -> DedupQueries.dedupTokensSql,

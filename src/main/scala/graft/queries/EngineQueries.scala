@@ -24,7 +24,14 @@ object EngineQueries {
       numPartitions = s.sparkContext.defaultParallelism)
 
   /** Full pipeline: synthesize corpus -> encode -> decode -> verify ->
-    * per-source rollup with roundtrip mismatch count (must be 0). */
+    * per-source rollup with roundtrip mismatch count (must be 0).
+    *
+    * Oracled: every output column is spec-derivable — the DuckDB twin
+    * recomputes n_rows/n_tokens/raw_bytes from the materialized corpus
+    * parquet (identical bytes, see CorpusTable) and pins mismatches = 0,
+    * which hash-checks the north-rule bit-identical roundtrip through the
+    * hard channel. Compressed sizes are engine-specific and live in
+    * codec_histogram + bench.json instead. */
   def encodeRoundtrip(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ds = Corpus.table(s, rowsForDir(dir),
@@ -33,16 +40,21 @@ object EngineQueries {
     val rep = Encoder.report(chunks)
       .groupBy(col("source"))
       .agg(sum("n_rows").as("n_rows"), sum("n_tokens").as("n_tokens"),
-        sum("raw_bytes").as("raw_bytes"), sum("enc_bytes").as("enc_bytes"))
+        sum("raw_bytes").as("raw_bytes"))
     val mism = Decoder.verifyAgainst(chunks, ds)
       .toDF("doc_id")
       .agg(count(lit(1)).as("mismatches"))
-    val out = rep
-      .withColumn("ratio", round(col("enc_bytes") / col("raw_bytes"), 4))
-      .crossJoin(broadcast(mism))
-      .orderBy(col("source"))
-    out
+    rep.crossJoin(broadcast(mism)).orderBy(col("source"))
   }
+
+  /** Twin over the materialized corpus (valid at the driver's sf0.01 run,
+    * where rowsForDir = 5000 = the materialized row count). */
+  val encodeRoundtripSql: String =
+    """SELECT source, count(*) AS n_rows, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+      |  CAST(4 * sum(n_tok) AS BIGINT) AS raw_bytes,
+      |  CAST(0 AS BIGINT) AS mismatches
+      |FROM read_parquet('/root/repo/data/oracle/corpus_n5000.parquet/*.parquet')
+      |GROUP BY source ORDER BY source""".stripMargin
 
   /** Codec-selection histogram over the encoded chunk table, splitting the
     * token payload from the side metadata (doc_ids/sources/lens) so the
@@ -85,12 +97,24 @@ object EngineQueries {
     val mism = Decoder.verifyAgainst(chunks, docs)
       .toDF("doc_id").agg(count(lit(1)).as("mismatches"))
     chunks.groupBy()
-      .agg(count(lit(1)).as("n_chunks"), sum("n_rows").as("n_rows"),
-        sum("n_tokens").as("n_tokens"), sum("raw_bytes").as("raw_bytes"),
-        sum("enc_bytes").as("enc_bytes"))
-      .withColumn("ratio", round(col("enc_bytes") / col("raw_bytes"), 4))
+      .agg(sum("n_rows").as("n_rows"),
+        sum("n_tokens").as("n_tokens"), sum("raw_bytes").as("raw_bytes"))
       .crossJoin(broadcast(mism))
   }
+
+  /** Twin: the toy tokenizer yields one token per single-space-separated
+    * word (documents are synthetic single-spaced; the same formula backs
+    * the already-oracled doc_token_count), so n_tokens is SQL-computable
+    * and mismatches pins the decode∘encode identity on real text-derived
+    * token arrays. */
+  val encodeDocsSql: String =
+    """SELECT count(*) AS n_rows,
+      |  CAST(sum(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT)
+      |    AS n_tokens,
+      |  CAST(4 * sum(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT)
+      |    AS raw_bytes,
+      |  CAST(0 AS BIGINT) AS mismatches
+      |FROM documents""".stripMargin
 
   /** Per-source token statistics via the mergeable Aggregator (partial +
     * final combine; the selector's stats pass as a Spark aggregate). Reads
@@ -197,7 +221,12 @@ object EngineQueries {
       |GROUP BY source ORDER BY source""".stripMargin
 
   /** Lineage roundtrip as a query: encode to a scratch dir, resume (no-op),
-    * decode back, report counts — the A22 unconsumed-input analog. */
+    * decode back, report counts — the A22 unconsumed-input analog.
+    *
+    * Oracled: n_tokens/decoded_rows/expected_rows are recomputed by DuckDB
+    * from the materialized corpus; partitions_first_run is the configured
+    * partition count (spec constant) and partitions_resumed_run = 0 pins
+    * the resume-skips-everything contract through the hard channel. */
   def lineageRoundtrip(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val n = math.min(rowsForDir(dir), 5000L)
@@ -208,15 +237,19 @@ object EngineQueries {
     val resumed = Lineage.encodeToDir(ds, out, cfg) // must skip everything
     val decoded = Lineage.decodeFromDir(s, out).count()
     val manifest = Lineage.readManifest(s, out)
-    manifest.agg(
-        count(lit(1)).as("n_chunks"),
-        sum("n_tokens").as("n_tokens"),
-        sum("enc_bytes").as("enc_bytes"))
+    manifest.agg(sum("n_tokens").as("n_tokens"))
       .withColumn("partitions_first_run", lit(first))
       .withColumn("partitions_resumed_run", lit(resumed))
       .withColumn("decoded_rows", lit(decoded))
       .withColumn("expected_rows", lit(n))
   }
+
+  val lineageRoundtripSql: String =
+    """SELECT CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+      |  CAST(4 AS BIGINT) AS partitions_first_run,
+      |  CAST(0 AS BIGINT) AS partitions_resumed_run,
+      |  count(*) AS decoded_rows, count(*) AS expected_rows
+      |FROM read_parquet('/root/repo/data/oracle/corpus_n5000.parquet/*.parquet')""".stripMargin
 }
 
 /** Deterministic toy tokenizer (whitespace split, stable JVM string hash
