@@ -58,6 +58,10 @@ object SparkEntry {
     "ann_lsh" -> (AnnQueries.annLsh _),
     "ann_ivf" -> (AnnQueries.annIvf _),
     "dedup_embedding" -> (AnnQueries.dedupEmbedding _),
+    // training-data curation
+    "seq_split" -> (PackQueries.seqSplit _),
+    "seq_len_hist" -> (PackQueries.seqLenHist _),
+    "seq_pack" -> (PackQueries.seqPack _),
     // multimodal plumbing
     "multimodal_features" -> (MultimodalQueries.multimodalFeatures _),
   )
@@ -88,6 +92,11 @@ object SparkEntry {
     "encode_roundtrip" -> EngineQueries.encodeRoundtripSql,
     "encode_docs" -> EngineQueries.encodeDocsSql,
     "lineage_roundtrip" -> EngineQueries.lineageRoundtripSql,
+    "seq_split" -> PackQueries.seqSplitSql,
+    "seq_len_hist" -> PackQueries.seqLenHistSql,
+    // packing is a sequential fold (not ANSI-SQL-expressible): pinned by an
+    // independent Python replica, tools/gen_pack_fixtures.py
+    "seq_pack" -> PackQueries.seqPackSql,
     "source_distinct_tokens" -> EngineQueries.sourceDistinctTokensSql,
     "encode_expr" -> EngineQueries.encodeExprSql,
     "dedup_tokens" -> DedupQueries.dedupTokensSql,
