@@ -25,6 +25,8 @@ object DrivePlanAudit {
       DedupQueries.dedupExact(spark, sf))
     show("dedup_minhash (max-bucket guard: aggregate + left-semi)",
       DedupQueries.dedupMinhash(spark, sf))
+    show("seq_pack (single hash exchange + in-partition sort, no collect)",
+      PackQueries.seqPack(spark, sf))
     spark.stop()
   }
 }
