@@ -41,6 +41,7 @@ object SparkEntry {
     "q9_scalar_fns" -> (RelationalQueries.q9ScalarFns _),
     "q10_rollup" -> (RelationalQueries.q10Rollup _),
     "q11_time_window" -> (RelationalQueries.q11TimeWindow _),
+    "q12_bucketed_join" -> (RelationalQueries.q12BucketedJoin _),
     // text pipeline
     "doc_token_count" -> (TextQueries.tokenCount _),
     "doc_token_count_bpe" -> (TextQueries.tokenCountBpe _),
@@ -81,6 +82,7 @@ object SparkEntry {
     "q9_scalar_fns" -> RelationalQueries.q9Sql,
     "q10_rollup" -> RelationalQueries.q10Sql,
     "q11_time_window" -> RelationalQueries.q11Sql,
+    "q12_bucketed_join" -> RelationalQueries.q12Sql,
     "doc_token_count" -> TextQueries.tokenCountSql,
     "doc_quality" -> TextQueries.qualityScoreSql,
     "dedup_exact" -> DedupQueries.dedupExactSql,

@@ -224,4 +224,46 @@ object RelationalQueries {
     """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour,
       |  event_type, count(*) AS n, count(DISTINCT user_id) AS n_users
       |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+
+  /** q12: CO-LOCATED join via bucketed tables — the at-scale alternative to
+    * shuffling two fact tables into alignment on every join. Both sides are
+    * written `bucketBy(join key)` once; Spark then sort-merge-joins bucket i
+    * against bucket i with NO Exchange on either side (verified by
+    * RelationalSpec on the physical plan). At 100 TB this converts the
+    * biggest recurring shuffle in a star-schema workload into a pure
+    * map-side merge. The in-memory catalog doesn't survive JVMs, so the
+    * bucketed twin tables are (re)materialized per session — a real
+    * deployment does this once at ingest. Results are bucketing-invariant,
+    * hence the plain-SQL oracle. */
+  def q12BucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val nb = 8
+    def materialize(name: String, src: String, key: String): Unit =
+      if (!s.catalog.tableExists(name)) {
+        // the in-memory catalog forgot the table across JVMs but its files
+        // survive in the warehouse dir — clear them so saveAsTable can
+        // claim the location again
+        val wh = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir") + "/" + name)
+        val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(wh)) fs.delete(wh, true)
+        t(s, dir, src).write.mode("overwrite")
+          .bucketBy(nb, key).sortBy(key).saveAsTable(name)
+      }
+    materialize("orders_b", "orders", "o_orderkey")
+    materialize("lineitem_b", "lineitem", "l_orderkey")
+    val o = s.table("orders_b")
+    val l = s.table("lineitem_b")
+    o.hint("merge")
+      .join(l.hint("merge"), o("o_orderkey") === l("l_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("l_extendedprice")), 2).as("revenue"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val q12Sql: String =
+    """SELECT o_orderstatus, count(*) AS n_lines,
+      |  round(sum(l_extendedprice), 2) AS revenue
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 }
