@@ -169,6 +169,10 @@ object Huffman {
     }
     val count = n.toInt
     if (count < 0) throw CorruptException("huffman count")
+    // every symbol consumes >= 1 bit, so a count beyond the remaining bits
+    // is corruption — reject BEFORE allocating (a mutated count varint must
+    // not become a multi-GB allocation)
+    if (count > (until - p).toLong * 8) throw TruncatedException
     // Table-driven canonical decode: one MaxLen-bit window lookup per
     // symbol (entry = sym<<4 | len; 0 = no code owns the prefix). The
     // 2^15-entry table costs one 32K fill, amortized over the block (hpack

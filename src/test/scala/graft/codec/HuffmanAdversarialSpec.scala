@@ -1,0 +1,52 @@
+package graft.codec
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import graft.GenChecks
+
+/** Adversarial complement to HuffmanSpec (TokenCodecSpec.scala): the kernel
+  * is load-bearing for every hpack'd chunk and FSST mode-3 block, and the
+  * frame-level CRC only screens corruption on the TokenCodec path — these
+  * pin its behavior standing alone under truncation and bit damage. */
+class HuffmanAdversarialSpec extends AnyFunSuite with GenChecks {
+
+  test("truncation at every boundary throws, never mis-decodes") {
+    val data = ("the quick brown fox " * 40).getBytes("UTF-8")
+    val enc = Huffman.encode(data)
+    var cut = 0
+    while (cut < enc.length) {
+      val r = try {
+        val d = Huffman.decode(enc, 0, cut)
+        Some(d)
+      } catch {
+        case TruncatedException    => None
+        case _: CorruptException   => None
+      }
+      // a successful decode of a truncated buffer must never silently
+      // produce the full-length answer from thin air
+      r.foreach(d => assert(d.length < data.length || cut == enc.length))
+      cut += 1
+    }
+  }
+
+  test("random single-byte mutations terminate: loud error or sized output") {
+    // the kernel's contract under corruption: throw Truncated/Corrupt or
+    // return exactly the declared count (the frame-level CRC then catches
+    // any silent bit damage) — never hang, never over/under-produce
+    val data = ("abcabcababcbcbacbab" * 30).getBytes("UTF-8")
+    val enc = Huffman.encode(data)
+    val rng = new scala.util.Random(7)
+    (1 to 200).foreach { _ =>
+      val bad = enc.clone()
+      val i = rng.nextInt(bad.length)
+      bad(i) = (bad(i) ^ (1 << rng.nextInt(8))).toByte
+      try {
+        val d = Huffman.decode(bad, 0, bad.length)
+        assert(d.length <= (enc.length + data.length) * 8)
+      } catch {
+        case TruncatedException  => ()
+        case _: CorruptException => ()
+      }
+    }
+  }
+}
