@@ -14,7 +14,7 @@ import java.util.zip.CRC32
   * static per-chunk table instead of an adaptive byte model.
   *
   * Framing: [magic 'G','S'][mode u8: 0=raw 1=fsst 2=fsst+packed
-  *          3=fsst+huffman 4=huffman]
+  *          3=fsst+huffman 4=huffman 5=fsst+o1huffman 6=o1huffman]
   *          [varint rawLen]
   *          mode 1: [u8 nSymbols][per symbol: u8 len, bytes][code bytes]
   *          mode 2: [u8 nSymbols][symbols][TokenCodec frame over the code
@@ -25,6 +25,11 @@ import java.util.zip.CRC32
   *                  stream] — order-0 entropy stage for text-like data
   *                  where code frequencies are skewed, not sparse
   *          mode 4: [Huffman block over the raw bytes] (no table wins)
+  *          mode 5: [u8 nSymbols][symbols][HuffmanO1 block over the code
+  *                  stream] — order-1: per-class tables keyed by the
+  *                  previous code's top 5 bits (static stand-in for the
+  *                  reference's adaptive contexts on text payloads)
+  *          mode 6: [HuffmanO1 block over the raw bytes]
   *          mode 0: [raw bytes]
   *          [crc32 LE of all previous bytes]
   * The encoder computes every applicable mode and keeps the smallest; raw
@@ -220,13 +225,23 @@ object Fsst {
       }
     val packed3 = if (packed == null) null else Huffman.encode(packed)
     val packed4 = if (data.length >= 64) Huffman.encode(data) else null
+    // order-1 entropy stages (context-classed tables): over the FSST code
+    // stream (mode 5) and over the raw bytes (mode 6) — the static
+    // approximation of the reference's adaptive contexts for text payloads
+    val packed5 = if (packed == null) null else HuffmanO1.encode(packed)
+    val packed6 = if (data.length >= 64) HuffmanO1.encode(data) else null
     val size1 = if (packed == null) Int.MaxValue else tableLen + packed.length
     val size2 = if (packed2 == null) Int.MaxValue else tableLen + packed2.length
     val size3 = if (packed3 == null) Int.MaxValue else tableLen + packed3.length
     val size4 = if (packed4 == null) Int.MaxValue else packed4.length
-    val best = math.min(math.min(size1, size2), math.min(size3, size4))
+    val size5 = if (packed5 == null) Int.MaxValue else tableLen + packed5.length
+    val size6 = if (packed6 == null) Int.MaxValue else packed6.length
+    val best = math.min(math.min(math.min(size1, size2), math.min(size3, size4)),
+      math.min(size5, size6))
     val mode =
       if (best >= data.length) 0
+      else if (best == size5) 5
+      else if (best == size6) 6
       else if (best == size3) 3
       else if (best == size2) 2
       else if (best == size4) 4
@@ -237,10 +252,14 @@ object Fsst {
     writeVarint(bos, data.length.toLong)
     if (mode == 4) {
       bos.write(packed4, 0, packed4.length)
+    } else if (mode == 6) {
+      bos.write(packed6, 0, packed6.length)
     } else if (mode > 0) {
       bos.write(table.symbols.length)
       table.symbols.foreach { s => bos.write(s.length); bos.write(s, 0, s.length) }
-      val p = if (mode == 3) packed3 else if (mode == 2) packed2 else packed
+      val p = if (mode == 5) packed5
+        else if (mode == 3) packed3
+        else if (mode == 2) packed2 else packed
       bos.write(p, 0, p.length)
     } else {
       bos.write(data, 0, data.length)
@@ -273,7 +292,11 @@ object Fsst {
         val out = Huffman.decode(bytes, r.pos, end)
         if (out.length != rawLen) throw CorruptException("huffman raw length")
         out
-      case 1 | 2 | 3 =>
+      case 6 =>
+        val out = HuffmanO1.decode(bytes, r.pos, end)
+        if (out.length != rawLen) throw CorruptException("o1 raw length")
+        out
+      case 1 | 2 | 3 | 5 =>
         if (r.pos >= end) throw TruncatedException
         val nSym = bytes(r.pos) & 0xff
         var p = r.pos + 1
@@ -292,6 +315,9 @@ object Fsst {
           decompressWith(new SymbolTable(symbols), bytes, p, end, rawLen)
         else if (mode == 3) {
           val stream = Huffman.decode(bytes, p, end)
+          decompressWith(new SymbolTable(symbols), stream, 0, stream.length, rawLen)
+        } else if (mode == 5) {
+          val stream = HuffmanO1.decode(bytes, p, end)
           decompressWith(new SymbolTable(symbols), stream, 0, stream.length, rawLen)
         } else {
           // unpack the second-stage code stream back to bytes first

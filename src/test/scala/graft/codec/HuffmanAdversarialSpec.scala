@@ -10,6 +10,37 @@ import graft.GenChecks
   * pin its behavior standing alone under truncation and bit damage. */
 class HuffmanAdversarialSpec extends AnyFunSuite with GenChecks {
 
+  test("order-1 kernel roundtrips arbitrary byte strings") {
+    forAll(Gen.oneOf(
+      Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray),
+      Gen.listOf(Gen.oneOf('x'.toByte, 'y'.toByte, ' '.toByte)).map(_.toArray),
+      Gen.const(Array.fill(3000)('q'.toByte)),
+      Gen.const(Array.emptyByteArray)), trials = 120) { (data: Array[Byte]) =>
+      val enc = HuffmanO1.encode(data)
+      assert(HuffmanO1.decode(enc, 0, enc.length).sameElements(data))
+    }
+  }
+
+  test("order-1 stage (fsst mode 5) wins on a markov source and roundtrips") {
+    // class-conditioned alphabet: strong order-1 structure, no long repeats
+    val rng = new graft.io.Corpus.Rng(3L)
+    val data = new Array[Byte](100000)
+    var prev = 0
+    var i = 0
+    while (i < data.length) {
+      data(i) = (32 + (((prev % 7) * 17 + rng.nextInt(12)) % 64)).toByte
+      prev = data(i) & 0xff
+      i += 1
+    }
+    val enc = Fsst.encode(data)
+    assert(enc(2) == 5 || enc(2) == 6, s"mode=${enc(2)}")
+    assert(enc.length < Huffman.encode(data).length) // beats order-0
+    assert(Fsst.decode(enc).sameElements(data))
+    val bad = enc.clone()
+    bad(enc.length / 2) = (bad(enc.length / 2) ^ 0x11).toByte
+    intercept[Exception](Fsst.decode(bad))
+  }
+
   test("truncation at every boundary throws, never mis-decodes") {
     val data = ("the quick brown fox " * 40).getBytes("UTF-8")
     val enc = Huffman.encode(data)
