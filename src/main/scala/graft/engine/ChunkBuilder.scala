@@ -54,6 +54,14 @@ object ChunkBuilder {
       if (docIds(i) > maxDoc) maxDoc = docIds(i)
       i += 1
     }
+    var minTok = if (tokens.isEmpty) 0 else tokens(0)
+    var maxTok = minTok
+    i = 1
+    while (i < tokens.length) {
+      if (tokens(i) < minTok) minTok = tokens(i)
+      if (tokens(i) > maxTok) maxTok = tokens(i)
+      i += 1
+    }
 
     EncodedChunk(
       chunk_id = (partId.toLong << 32) | (seq.toLong & 0xffffffffL),
@@ -63,6 +71,7 @@ object ChunkBuilder {
       enc_bytes = payload.length.toLong + meta.length.toLong,
       crc32 = crc.getValue,
       min_doc_id = minDoc, max_doc_id = maxDoc,
+      min_tok = minTok, max_tok = maxTok,
       payload = payload, meta = meta)
   }
 

@@ -32,7 +32,8 @@ object Lineage {
   final case class ManifestRow(
       part_id: Int, seq: Int, chunk_id: Long, codec: Int, n_rows: Int,
       n_tokens: Long, raw_bytes: Long, enc_bytes: Long, crc32: Long,
-      offset: Long, length: Long, min_doc_id: String, max_doc_id: String)
+      offset: Long, length: Long, min_doc_id: String, max_doc_id: String,
+      min_tok: Int, max_tok: Int)
 
   private def pn(pid: Int): String = f"part-$pid%05d"
 
@@ -79,7 +80,7 @@ object Lineage {
           out.write(rec)
           rows += ManifestRow(c.part_id, c.seq, c.chunk_id, c.codec, c.n_rows,
             c.n_tokens, c.raw_bytes, c.enc_bytes, c.crc32, offset,
-            rec.length.toLong, c.min_doc_id, c.max_doc_id)
+            rec.length.toLong, c.min_doc_id, c.max_doc_id, c.min_tok, c.max_tok)
           offset += rec.length
         }
         out.close()
@@ -129,6 +130,20 @@ object Lineage {
       .filter(r => r.doc_id >= lo && r.doc_id <= hi)
   }
 
+  /** Content-predicate pruned decode: only chunks whose token-VALUE range
+    * [min_tok, max_tok] covers `tok` are read — "find sequences containing
+    * token T" touches the manifest plus the chunks that can match, not the
+    * table (out-of-range vocabulary probes decode ZERO chunks). Rows are
+    * then exactly filtered by containment. */
+  def decodeContainingToken(spark: SparkSession, dir: String,
+                            tok: Int): Dataset[SeqRow] = {
+    import org.apache.spark.sql.functions.col
+    val pruned = readManifest(spark, dir)
+      .filter(col("min_tok") <= tok && col("max_tok") >= tok)
+    decodeManifest(spark, dir, pruned)
+      .filter(r => r.tokens.contains(tok))
+  }
+
   private def decodeManifest(spark: SparkSession, dir: String,
                              manifest: Dataset[ManifestRow]): Dataset[SeqRow] = {
     import spark.implicits._
@@ -166,7 +181,7 @@ object Lineage {
     val meta = java.util.Arrays.copyOfRange(buf, r.pos, r.pos + mLen)
     EncodedChunk(m.chunk_id, m.part_id, m.seq, m.codec, m.n_rows, m.n_tokens,
       m.raw_bytes, m.enc_bytes, m.crc32, m.min_doc_id, m.max_doc_id,
-      payload, meta)
+      m.min_tok, m.max_tok, payload, meta)
   }
 
   // ---- tiny JSON (flat schema, no deps) ----------------------------------------
@@ -179,6 +194,7 @@ object Lineage {
     s""""codec":${r.codec},"n_rows":${r.n_rows},"n_tokens":${r.n_tokens},""" +
     s""""raw_bytes":${r.raw_bytes},"enc_bytes":${r.enc_bytes},"crc32":${r.crc32},""" +
     s""""offset":${r.offset},"length":${r.length},""" +
+    s""""min_tok":${r.min_tok},"max_tok":${r.max_tok},""" +
     s""""min_doc_id":"${esc(r.min_doc_id)}","max_doc_id":"${esc(r.max_doc_id)}"}"""
 
   private def parseManifestLine(line: String): ManifestRow = {
@@ -198,7 +214,8 @@ object Lineage {
     ManifestRow(num("part_id").toInt, num("seq").toInt, num("chunk_id"),
       num("codec").toInt, num("n_rows").toInt, num("n_tokens"),
       num("raw_bytes"), num("enc_bytes"), num("crc32"), num("offset"),
-      num("length"), str("min_doc_id"), str("max_doc_id"))
+      num("length"), str("min_doc_id"), str("max_doc_id"),
+      num("min_tok").toInt, num("max_tok").toInt)
   }
 
   private def writeVarint(bos: java.io.ByteArrayOutputStream, v0: Long): Unit = {

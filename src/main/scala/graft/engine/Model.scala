@@ -29,6 +29,8 @@ final case class EncodedChunk(
     crc32: Long,          // CRC of payload (duplicated from framing, for SQL)
     min_doc_id: String,   // chunk pruning bounds (zone-map analog)
     max_doc_id: String,
+    min_tok: Int,         // token-VALUE bounds: content-predicate pruning
+    max_tok: Int,         //   ("chunks that can contain token T") without decode
     payload: Array[Byte], // framed TokenCodec output over concatenated tokens
     meta: Array[Byte])    // framed side columns: row lens, sources, doc_ids
 

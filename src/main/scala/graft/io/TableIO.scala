@@ -85,13 +85,15 @@ object JsonTableIO extends TableIO {
       .withColumn("meta", unbase64(col("meta")))
       .select("chunk_id", "part_id", "seq", "codec", "n_rows", "n_tokens",
         "raw_bytes", "enc_bytes", "crc32", "min_doc_id", "max_doc_id",
-        "payload", "meta")
+        "min_tok", "max_tok", "payload", "meta")
       .selectExpr("CAST(chunk_id AS LONG) chunk_id",
         "CAST(part_id AS INT) part_id", "CAST(seq AS INT) seq",
         "CAST(codec AS INT) codec", "CAST(n_rows AS INT) n_rows",
         "CAST(n_tokens AS LONG) n_tokens", "CAST(raw_bytes AS LONG) raw_bytes",
         "CAST(enc_bytes AS LONG) enc_bytes", "CAST(crc32 AS LONG) crc32",
-        "min_doc_id", "max_doc_id", "payload", "meta")
+        "min_doc_id", "max_doc_id",
+        "CAST(min_tok AS INT) min_tok", "CAST(max_tok AS INT) max_tok",
+        "payload", "meta")
       .as[EncodedChunk]
   }
 }

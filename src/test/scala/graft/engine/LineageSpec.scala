@@ -78,6 +78,25 @@ class LineageSpec extends AnyFunSuite {
     assert(touched < all, s"no pruning: $touched of $all")
   }
 
+  test("token-value zone map prunes content-predicate decode") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmpDir()
+    val ds = Corpus.table(spark, 500, partitions = 4)
+    Lineage.encodeToDir(ds, dir, EncoderConfig(chunkTokens = 4096,
+      numPartitions = 4))
+    // vocabulary-edge token (the `boundary` archetype emits V-1): present in
+    // few rows, so both the chunk pruning and the row filter must fire
+    val tok = graft.io.Corpus.V - 1
+    val got = Lineage.decodeContainingToken(spark, dir, tok).collect()
+    val expect = ds.collect().filter(_.tokens.contains(tok)).map(_.doc_id).toSet
+    assert(got.map(_.doc_id).toSet == expect && expect.nonEmpty)
+    // out-of-vocabulary probe decodes ZERO chunks (manifest-only answer)
+    val oov = graft.io.Corpus.V + 7
+    assert(Lineage.decodeContainingToken(spark, dir, oov).count() == 0L)
+    assert(Lineage.readManifest(spark, dir)
+      .filter(col("min_tok") <= oov && col("max_tok") >= oov).count() == 0L)
+  }
+
   test("encodeToDir is byte-deterministic across runs (resume soundness)") {
     val ds = Corpus.table(spark, 500, partitions = 4)
     val cfg = EncoderConfig(chunkTokens = 8192, numPartitions = 4)
