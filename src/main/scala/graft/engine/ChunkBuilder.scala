@@ -54,8 +54,11 @@ object ChunkBuilder {
       if (docIds(i) > maxDoc) maxDoc = docIds(i)
       i += 1
     }
-    var minTok = if (tokens.isEmpty) 0 else tokens(0)
-    var maxTok = minTok
+    // Inverted sentinels for a zero-token chunk: (MaxValue, MinValue) can
+    // never satisfy `min_tok <= t && max_tok >= t`, so the zone map never
+    // falsely claims containment of token 0 (min=max=0 would).
+    var minTok = if (tokens.isEmpty) Int.MaxValue else tokens(0)
+    var maxTok = if (tokens.isEmpty) Int.MinValue else tokens(0)
     i = 1
     while (i < tokens.length) {
       if (tokens(i) < minTok) minTok = tokens(i)

@@ -84,18 +84,28 @@ object Lineage {
           offset += rec.length
         }
         out.close()
-        // ChecksumFileSystem/HDFS rename does NOT overwrite: clear leftovers
-        // from a run that died between data-rename and manifest-commit.
-        if (fs.exists(dataFinal)) fs.delete(dataFinal, false)
-        if (!fs.rename(dataTmp, dataFinal))
-          throw new java.io.IOException(s"rename failed: $dataTmp -> $dataFinal")
-        val mTmp = new Path(s"$dir/_lineage/${pn(pid)}.json.inprogress-$attempt")
-        val mOut = fs.create(mTmp, true)
-        rows.foreach { r => mOut.write((manifestJson(r) + "\n").getBytes("UTF-8")) }
-        mOut.close()
-        if (!fs.rename(mTmp, manifest)) // commit point
-          throw new java.io.IOException(s"rename failed: $mTmp -> $manifest")
-        done.add(1L)
+        // Re-check the commit point IMMEDIATELY before touching dataFinal: a
+        // losing speculative/zombie attempt that passed the entry check may
+        // only reach here after the winner committed data+manifest — deleting
+        // the committed data file would strand a manifest pointing at
+        // nothing. The loser discards its own temp and walks away.
+        if (fs.exists(manifest)) {
+          fs.delete(dataTmp, false): Unit
+        } else {
+          // ChecksumFileSystem/HDFS rename does NOT overwrite: clear
+          // leftovers from a run that died between data-rename and
+          // manifest-commit (no manifest exists, so that data is orphaned).
+          if (fs.exists(dataFinal)) fs.delete(dataFinal, false)
+          if (!fs.rename(dataTmp, dataFinal))
+            throw new java.io.IOException(s"rename failed: $dataTmp -> $dataFinal")
+          val mTmp = new Path(s"$dir/_lineage/${pn(pid)}.json.inprogress-$attempt")
+          val mOut = fs.create(mTmp, true)
+          rows.foreach { r => mOut.write((manifestJson(r) + "\n").getBytes("UTF-8")) }
+          mOut.close()
+          if (!fs.rename(mTmp, manifest)) // commit point
+            throw new java.io.IOException(s"rename failed: $mTmp -> $manifest")
+          done.add(1L)
+        }
       }
     }
     done.value
@@ -205,6 +215,13 @@ object Lineage {
       m.map(_.group(1).toLong).getOrElse(
         throw new IllegalArgumentException(s"manifest line missing $k: $line"))
     }
+    // Fields added after v1 default instead of throwing, so a lineage dir
+    // written by an older engine still resumes/decodes. Missing token zone
+    // bounds default to the conservative "could contain anything" range
+    // (never prunes, always correct).
+    def numOr(k: String, dflt: Long): Long =
+      s""""$k":(-?\\d+)""".r.findFirstMatchIn(line)
+        .map(_.group(1).toLong).getOrElse(dflt)
     def str(k: String): String = {
       val m = (s""""$k":"((?:[^"\\\\]|\\\\.)*)"""").r.findFirstMatchIn(line)
       val raw = m.map(_.group(1)).getOrElse(
@@ -215,7 +232,7 @@ object Lineage {
       num("codec").toInt, num("n_rows").toInt, num("n_tokens"),
       num("raw_bytes"), num("enc_bytes"), num("crc32"), num("offset"),
       num("length"), str("min_doc_id"), str("max_doc_id"),
-      num("min_tok").toInt, num("max_tok").toInt)
+      numOr("min_tok", Int.MinValue).toInt, numOr("max_tok", Int.MaxValue).toInt)
   }
 
   private def writeVarint(bos: java.io.ByteArrayOutputStream, v0: Long): Unit = {

@@ -19,6 +19,23 @@ trait TableIO {
   def readChunks(spark: SparkSession, table: String): Dataset[EncodedChunk]
 }
 
+private[io] object ZoneDefaults {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.functions.lit
+
+  /** Chunk tables written before the token zone map existed lack
+    * min_tok/max_tok: default to the conservative "could contain anything"
+    * range so old tables still decode (never prunes, always correct). */
+  def apply(df: DataFrame): DataFrame = {
+    var out = df
+    if (!df.columns.contains("min_tok"))
+      out = out.withColumn("min_tok", lit(Int.MinValue))
+    if (!df.columns.contains("max_tok"))
+      out = out.withColumn("max_tok", lit(Int.MaxValue))
+    out
+  }
+}
+
 /** Path-based Parquet tables. */
 object ParquetTableIO extends TableIO {
   override def readSequences(spark: SparkSession, path: String): Dataset[SeqRow] = {
@@ -33,7 +50,7 @@ object ParquetTableIO extends TableIO {
 
   override def readChunks(spark: SparkSession, path: String): Dataset[EncodedChunk] = {
     import spark.implicits._
-    spark.read.parquet(path).as[EncodedChunk]
+    ZoneDefaults(spark.read.parquet(path)).as[EncodedChunk]
   }
 }
 
@@ -52,7 +69,7 @@ object OrcTableIO extends TableIO {
 
   override def readChunks(spark: SparkSession, path: String): Dataset[EncodedChunk] = {
     import spark.implicits._
-    spark.read.orc(path).as[EncodedChunk]
+    ZoneDefaults(spark.read.orc(path)).as[EncodedChunk]
   }
 }
 
@@ -80,7 +97,7 @@ object JsonTableIO extends TableIO {
 
   override def readChunks(spark: SparkSession, path: String): Dataset[EncodedChunk] = {
     import spark.implicits._
-    spark.read.json(path)
+    ZoneDefaults(spark.read.json(path))
       .withColumn("payload", unbase64(col("payload")))
       .withColumn("meta", unbase64(col("meta")))
       .select("chunk_id", "part_id", "seq", "codec", "n_rows", "n_tokens",

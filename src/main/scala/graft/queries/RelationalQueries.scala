@@ -237,6 +237,11 @@ object RelationalQueries {
     * hence the plain-SQL oracle. */
   def q12BucketedJoin(s: SparkSession, dir: String): DataFrame = {
     val nb = 8
+    // Table names are keyed on the SOURCE DIR (not just "exists in catalog"):
+    // a session that ran q12 against one sfDir and then another must not
+    // silently reuse the first dir's materialization.
+    val dirTag = java.lang.Long.toHexString(
+      graft.queries.Shingles.hash(dir, 12L) & 0xffffffffL)
     def materialize(name: String, src: String, key: String,
                     cols: Seq[String]): Unit =
       if (!s.catalog.tableExists(name)) {
@@ -252,12 +257,12 @@ object RelationalQueries {
         t(s, dir, src).select(cols.map(col): _*).write.mode("overwrite")
           .bucketBy(nb, key).sortBy(key).saveAsTable(name)
       }
-    materialize("orders_b", "orders", "o_orderkey",
+    materialize(s"orders_b_$dirTag", "orders", "o_orderkey",
       Seq("o_orderkey", "o_orderstatus"))
-    materialize("lineitem_b", "lineitem", "l_orderkey",
+    materialize(s"lineitem_b_$dirTag", "lineitem", "l_orderkey",
       Seq("l_orderkey", "l_extendedprice"))
-    val o = s.table("orders_b")
-    val l = s.table("lineitem_b")
+    val o = s.table(s"orders_b_$dirTag")
+    val l = s.table(s"lineitem_b_$dirTag")
     o.hint("merge")
       .join(l.hint("merge"), o("o_orderkey") === l("l_orderkey"))
       .groupBy(col("o_orderstatus"))
