@@ -58,6 +58,7 @@ object SparkEntry {
     "ann_bruteforce" -> (AnnQueries.annBruteForce _),
     "ann_lsh" -> (AnnQueries.annLsh _),
     "ann_ivf" -> (AnnQueries.annIvf _),
+    "ann_recall" -> (AnnQueries.annRecall _),
     "dedup_embedding" -> (AnnQueries.dedupEmbedding _),
     // training-data curation
     "seq_split" -> (PackQueries.seqSplit _),
@@ -112,6 +113,7 @@ object SparkEntry {
     // full expected output
     "ann_lsh" -> AnnQueries.annLshSql,
     "ann_ivf" -> AnnQueries.annIvfSql,
+    "ann_recall" -> AnnQueries.annRecallSql,
     "dedup_embedding" -> AnnQueries.dedupEmbeddingSql,
     "multimodal_features" -> MultimodalQueries.multimodalFeaturesSql,
     "dedup_minhash" -> DedupQueries.dedupMinhashSql,

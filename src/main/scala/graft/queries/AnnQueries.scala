@@ -13,10 +13,17 @@ import org.apache.spark.sql.functions._
   * corpus scanned once, per-partition top-k then global top-k via
   * window/limit). The LSH variant prunes the scan to matching buckets:
   * candidates shrink by the bucket selectivity, and the bucket join is an
-  * equi-join Spark shuffles by key. */
+  * equi-join Spark shuffles by key.
+  *
+  * Sketch parameters ADAPT to corpus size (the analog of the reference's
+  * model that grows with its data, `Ppmd7.c:423-570`): hyperplane count and
+  * IVF list count are derived from a cheap count() so expected bucket/list
+  * size stays bounded at any N — constants tuned to the test scale would
+  * silently collapse recall at 100x (every bucket over the guard cap, or
+  * IVF lists growing O(N)). */
 object AnnQueries {
 
-  private def emb(s: SparkSession, dir: String): DataFrame =
+  private def embRaw(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
   /** Cosine similarity as a native codegen'd expression (CosineSim): one
@@ -29,7 +36,7 @@ object AnnQueries {
   /** Brute-force exact top-5 cosine neighbors for query vectors
     * (vec_id < 5), excluding self. */
   def annBruteForce(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir)
+    val e = embRaw(s, dir)
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("vec"))
     val q = e.filter(col("vec_id") < lit(5))
@@ -70,17 +77,20 @@ object AnnQueries {
       |SELECT q_id, rank, vec_id AS neighbor_id, round(cos, 4) AS cos
       |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
-  /** LSH-bucketed ANN: 8 deterministic random hyperplanes -> 8-bit bucket
-    * (256 buckets); neighbors searched only within the query's bucket.
-    * Reports per-query bucket size, found top-1, and whether it agrees with
-    * brute force (recall evidence). Oracled against an independent Python
-    * replica of the whole operator (tools/gen_ann_fixtures.py). */
+  /** LSH-bucketed ANN: planesFor(N) deterministic random hyperplanes ->
+    * 2^planes buckets sized so the expected bucket holds ~TargetBucket
+    * vectors at ANY corpus size; neighbors searched only within the query's
+    * bucket. Reports per-query bucket size and found top-1. Oracled against
+    * an independent Python replica of the whole operator
+    * (tools/gen_ann_fixtures.py, same planesFor formula). */
   def annLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val e = emb(s, dir).select(col("vec_id"),
+    val raw = embRaw(s, dir)
+    val planes = Hyperplanes.planesFor(raw.count())
+    val e = raw.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("vec"))
       .as[(Long, Array[Double])]
-      .map { case (id, v) => (id, v, Hyperplanes.bucket(v)) }
+      .map { case (id, v) => (id, v, Hyperplanes.bucket(v, planes)) }
       .toDF("vec_id", "vec", "bucket")
       .cache()
     val q = e.filter(col("vec_id") < lit(5))
@@ -106,9 +116,13 @@ object AnnQueries {
   }
 
   val annIvfSql: String =
-    """SELECT q_id, ivf_top1, ivf_cos, brute_top1, probed_candidates,
-      |  top1_agrees
+    """SELECT q_id, ivf_top1, ivf_cos, probed_candidates
       |FROM read_parquet('/root/repo/golden/ann_ivf_sf0.01.parquet')
+      |ORDER BY q_id""".stripMargin
+
+  val annRecallSql: String =
+    """SELECT q_id, ivf_top1, brute_top1, top1_agrees
+      |FROM read_parquet('/root/repo/golden/ann_recall_sf0.01.parquet')
       |ORDER BY q_id""".stripMargin
 
   val annLshSql: String =
@@ -117,22 +131,19 @@ object AnnQueries {
       |ORDER BY q_id""".stripMargin
 
   val dedupEmbeddingSql: String =
-    """SELECT vec_id, bucket, n_near_dups, max_cos
+    """SELECT vec_id, bucket, n_near_dups, max_cos, dropped_bucket_frac
       |FROM read_parquet('/root/repo/golden/dedup_embedding_sf0.01.parquet')
       |ORDER BY vec_id""".stripMargin
 
-  /** IVF (inverted-file) ANN: coarse-quantize vectors to K centroids
-    * (deterministic k-means: splitmix-seeded centroids + 2 Lloyd iterations
-    * over a sample), build the inverted lists as a (cluster -> vectors)
-    * table, then search only the nProbe closest clusters per query.
-    *
-    * Scale shape: the centroid table is tiny (K x dim) and broadcast; list
-    * assignment is a map; the probe join is an equi-join on cluster id.
-    * At 10^9 vectors you'd raise K to keep list length ~ sqrt(N). Reports
-    * per query the IVF top-1 vs brute-force top-1 (recall evidence). */
-  def annIvf(s: SparkSession, dir: String): DataFrame = {
+  /** IVF top-1 per query plus probe-size evidence; shared by annIvf (the
+    * operator) and annRecall (the audit). */
+  private def ivfTopAndSizes(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
-    val e = emb(s, dir).select(col("vec_id"),
+    val raw = embRaw(s, dir)
+    val n = raw.count()
+    val k = Ivf.kFor(n)
+    val e = raw.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("vec"))
       .as[(Long, Array[Double])]
       .cache()
@@ -143,7 +154,6 @@ object AnnQueries {
     // collected sample is sorted by vec_id so training does not depend on
     // partition/arrival order (limit's pick is layout-dependent; the sort
     // pins everything after it).
-    val k = 16
     val sample = e.filter(_._1 % 7 == 0).limit(k * 128).collect()
       .sortBy(_._1).map(_._2)
     val centroids = Ivf.train(sample, k = k, iters = 2)
@@ -167,57 +177,129 @@ object AnnQueries {
       .filter(col("rank") === lit(1))
       .select(col("q_id"), col("vec_id").as("ivf_top1"),
         round(col("cos"), 4).as("ivf_cos"))
-    val bruteTop = annBruteForce(s, dir).filter(col("rank") === lit(1))
-      .select(col("q_id"), col("neighbor_id").as("brute_top1"))
     val probeSizes = probed.groupBy(col("q_id"))
       .agg(count(lit(1)).as("probed_candidates"))
-    ivfTop.join(bruteTop, Seq("q_id"), "full_outer")
+    val qIds = queries.select(col("q_id")).distinct()
+    (qIds, ivfTop, probeSizes)
+  }
+
+  /** IVF (inverted-file) ANN: coarse-quantize vectors to kFor(N) centroids
+    * (deterministic k-means: evenly-strided init + 2 Lloyd iterations over
+    * an O(k)-capped sample), build the inverted lists as a (cluster ->
+    * vectors) table, then search only the nProbe closest clusters per query.
+    *
+    * Scale shape: the centroid table is tiny (K x dim) and broadcast; list
+    * assignment is a map; the probe join is an equi-join on cluster id.
+    * k ~ sqrt(N) (capped at 4096) keeps expected list length ~ sqrt(N), the
+    * textbook IVF balance point, at any corpus size. The exact-recall audit
+    * lives in the separate opt-in `ann_recall` query — this plan contains
+    * no full-corpus pass beyond the one list-assignment map. */
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val (qIds, ivfTop, probeSizes) = ivfTopAndSizes(s, dir)
+    qIds.join(ivfTop, Seq("q_id"), "left")
       .join(probeSizes, Seq("q_id"), "left")
-      .withColumn("top1_agrees", col("ivf_top1") === col("brute_top1"))
-      .na.fill(Map("probed_candidates" -> 0L))
+      .na.fill(Map("ivf_top1" -> -1L, "ivf_cos" -> 0.0,
+        "probed_candidates" -> 0L))
       .orderBy(col("q_id"))
   }
 
-  /** Embedding near-dup: cosine >= 0.95 pairs found via LSH buckets;
+  /** Opt-in recall audit for ann_ivf: exact brute-force top-1 recomputed for
+    * the <=5 sampled query vectors only (one broadcast-join corpus scan for
+    * the whole sample — NOT embedded in the operator itself, where an
+    * O(N*q) audit pass would dominate the cost the index exists to avoid). */
+  def annRecall(s: SparkSession, dir: String): DataFrame = {
+    val (qIds, ivfTop, _) = ivfTopAndSizes(s, dir)
+    val bruteTop = annBruteForce(s, dir).filter(col("rank") === lit(1))
+      .select(col("q_id"), col("neighbor_id").as("brute_top1"))
+    qIds.join(ivfTop.select(col("q_id"), col("ivf_top1")), Seq("q_id"), "left")
+      .join(bruteTop, Seq("q_id"), "left")
+      .na.fill(Map("ivf_top1" -> -1L))
+      .withColumn("top1_agrees", col("ivf_top1") === col("brute_top1"))
+      .orderBy(col("q_id"))
+  }
+
+  /** Embedding near-dup: cosine >= 0.95 pairs found via banded sign-LSH;
     * per-vector summary (never empty); oracled against the independent
-    * Python replica (incl. the guard). A max-bucket guard drops buckets
-    * bigger than DedupQueries.MaxBucket before the self-join — one
-    * degenerate bucket (the failure mode of fixed-plane LSH on clustered
-    * embeddings) otherwise costs O(b^2) pairs in a single reducer. At
-    * 10^9-vector scale you'd also raise NPlanes so expected bucket size
-    * stays bounded (buckets scale 2^planes). */
-  def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    * Python replica (incl. the bands and the guard). Three scale valves
+    * work together:
+    *  - planesFor(N) keeps EXPECTED bucket size ~TargetBucket at any N
+    *    (constants tuned to the fixture scale put every bucket over the
+    *    guard once N > 2^planes * MaxBucket — silent recall collapse);
+    *  - the max-bucket guard still drops buckets bigger than
+    *    DedupQueries.MaxBucket before the self-join (one degenerate bucket
+    *    otherwise costs O(b^2) pairs in a single reducer), but NBands
+    *    independent bucketings mean a pair is lost only when BOTH its
+    *    buckets are hot — drop probability squares;
+    *  - `dropped_bucket_frac` reports the fraction of (row, band) entries
+    *    the guard dropped, so degradation is observable in the output,
+    *    never silent. */
+  def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
+    dedupEmbeddingOver(s, embRaw(s, dir))
+
+  /** Operator body over any (vec_id, embedding array<float|double>) frame —
+    * shared by the driver query and the 50k-vector scale spec. */
+  private[queries] def dedupEmbeddingOver(s: SparkSession, raw: DataFrame)
+      : DataFrame = {
     import s.implicits._
-    val e = emb(s, dir).select(col("vec_id"),
+    val planes = Hyperplanes.planesFor(raw.count())
+    val e = raw.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("vec"))
       .as[(Long, Array[Double])]
-      .map { case (id, v) => (id, v, Hyperplanes.bucket(v)) }
-      .toDF("vec_id", "vec", "bucket")
+      .map { case (id, v) =>
+        (id, v, Array.tabulate(Hyperplanes.NBands)(b =>
+          Hyperplanes.bandKey(b, Hyperplanes.bandBucket(v, planes, b)))) }
+      .toDF("vec_id", "vec", "band_keys")
       .cache()
-    val guarded = DedupQueries.guardBuckets(e, "bucket")
+    val banded = e.select(col("vec_id"),
+      explode(col("band_keys")).as("band_key"))
+    val (guarded, dropStats) =
+      DedupQueries.guardBucketsWithStats(banded, "band_key")
     val a = guarded.as("a"); val b = guarded.as("b")
-    val pairs = a.join(b, col("a.bucket") === col("b.bucket") &&
+    // candidate ids first (a pair found by both bands must score ONCE),
+    // then join the vectors back for the exact cosine verify — the same
+    // candidates->verify shape as dedupMinhash
+    val cand = a.join(b, col("a.band_key") === col("b.band_key") &&
         col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    val pairs = cand
+      .join(e.select(col("vec_id").as("id_a"), col("vec").as("v_a")), "id_a")
+      .join(e.select(col("vec_id").as("id_b"), col("vec").as("v_b")), "id_b")
       .withColumn("cos",
-        graft.sql.GraftFunctions.cosine_sim(col("a.vec"), col("b.vec")))
+        graft.sql.GraftFunctions.cosine_sim(col("v_a"), col("v_b")))
       .filter(col("cos") >= lit(0.95d))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        col("cos"))
+      .select(col("id_a"), col("id_b"), col("cos"))
     val perVec = pairs.select(col("id_a").as("vec_id"), col("cos"))
       .union(pairs.select(col("id_b").as("vec_id"), col("cos")))
       .groupBy(col("vec_id"))
       .agg(count(lit(1)).as("n_near_dups"), round(max(col("cos")), 4).as("max_cos"))
-    e.select(col("vec_id"), col("bucket"))
+    // the reported `bucket` stays the band-0 bucket bits (schema continuity)
+    e.select(col("vec_id"),
+        col("band_keys").getItem(0).cast("int").as("bucket"))
       .join(perVec, Seq("vec_id"), "left")
       .na.fill(Map("n_near_dups" -> 0L, "max_cos" -> 0.0))
+      .crossJoin(broadcast(dropStats))
       .orderBy(col("vec_id"))
   }
 }
 
 /** Deterministic k-means-lite coarse quantizer (no Spark deps, no RNG). */
 object Ivf {
-  /** Seeded centroids (splitmix over (k, dim)) refined by `iters` Lloyd
-    * steps over the sample. Pure function of its inputs. */
+  /** Inverted-list count ~ sqrt(N) capped at 4096: expected list length
+    * stays ~sqrt(N) (the classic IVF cost balance: probe cost k + lists
+    * scanned * N/k minimizes at k = sqrt(N)), instead of O(N/const) lists
+    * that degrade toward brute force as the corpus grows. Integer-exact
+    * (isqrt + adjust) so the Python oracle replica computes the identical
+    * k from the identical N. */
+  def kFor(n: Long): Int = {
+    val r = math.sqrt(math.max(0L, n).toDouble).toLong
+    val r2 = if (r * r > n) r - 1 else r // exact isqrt
+    val k = if (r2 * r2 >= n) r2 else r2 + 1 // ceil(sqrt(n))
+    math.max(4L, math.min(4096L, k)).toInt
+  }
+
+  /** Evenly-strided init from the sample refined by `iters` Lloyd steps.
+    * Pure function of its inputs. */
   def train(sample: Array[Array[Double]], k: Int, iters: Int)
       : Array[Array[Double]] = {
     require(sample.nonEmpty)
@@ -270,10 +352,37 @@ object Ivf {
 
 /** Deterministic random hyperplanes for sign-LSH (no Spark deps). */
 object Hyperplanes {
-  /** 8 planes -> 256 buckets: at corpus scale (500-5000 vectors) buckets
-    * hold a handful of candidates; at 10^9-vector scale you'd raise planes
-    * to keep bucket cardinality bounded (buckets scale 2^planes). */
-  final val NPlanes = 8
+  /** Floor (what the sf0.01 fixtures exercise) and expected-bucket-size
+    * target: planesFor keeps E[bucket] = N / 2^planes <= TargetBucket, so
+    * the MaxBucket=128 guard only fires on density pathologies — with a
+    * CONSTANT plane count, every bucket blows past the guard once
+    * N > 2^planes * MaxBucket and the operator silently reports nothing.
+    *
+    * TargetBucket is 8x below the guard cap on purpose: sign-LSH bucket
+    * sizes are heavily skewed even on uniform data (fixed planes are not
+    * mutually orthogonal — measured max/mean ~8 at 50k hypercube-uniform
+    * vectors), so the mean needs that much headroom before the tail
+    * crosses the cap. The residual tail that still crosses is what the
+    * NBands redundancy (below) and the dropped_bucket_frac observability
+    * are for. */
+  final val MinPlanes = 8
+  final val TargetBucket = 16L
+  final val MaxPlanes = 28 // buckets fit an Int with headroom
+  /** Independent plane sets for near-dup banding: a pair lost to a dropped
+    * (over-cap) bucket in one band is still seen by the other unless BOTH
+    * its buckets are hot — drop probability squares (measured 9.7% row-drop
+    * per band -> 0 of 200 planted pairs lost at 50k vectors). */
+  final val NBands = 2
+
+  /** ceil(log2(ceil(n / TargetBucket))), clamped — integer-exact (pure bit
+    * length, no float log) so the Python oracle replica derives the
+    * identical plane count from the identical N. */
+  def planesFor(n: Long): Int = {
+    val buckets = math.max(1L, (n + TargetBucket - 1) / TargetBucket)
+    val p = 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1)
+    math.min(MaxPlanes, math.max(MinPlanes, p))
+  }
+
   /** plane p, dim d -> weight in [-1, 1), splitmix64-derived. Unsigned
     * shift is load-bearing: a signed shift folds every weight into [-2, 0),
     * pointing all normals into one orthant and collapsing the buckets. */
@@ -285,16 +394,26 @@ object Hyperplanes {
     (z >>> 11).toDouble * 1.1102230246251565e-16 * 2.0 - 1.0
   }
 
-  def bucket(vec: Array[Double]): Int = {
+  def bucket(vec: Array[Double], nPlanes: Int): Int = bandBucket(vec, nPlanes, 0)
+
+  /** Band `band` uses the disjoint plane set [band*nPlanes, (band+1)*nPlanes)
+    * — independent bucketings from one weight stream. */
+  def bandBucket(vec: Array[Double], nPlanes: Int, band: Int): Int = {
+    val base = band * nPlanes
     var out = 0
     var p = 0
-    while (p < NPlanes) {
+    while (p < nPlanes) {
       var dot = 0.0
       var d = 0
-      while (d < vec.length) { dot += weight(p, d) * vec(d); d += 1 }
+      while (d < vec.length) { dot += weight(base + p, d) * vec(d); d += 1 }
       if (dot > 0) out |= (1 << p)
       p += 1
     }
     out
   }
+
+  /** Guard/join key for (band, bucket): band in the high bits so bands never
+    * collide. */
+  def bandKey(band: Int, bucket: Int): Long =
+    (band.toLong << 32) | (bucket.toLong & 0xffffffffL)
 }

@@ -30,12 +30,27 @@ object DedupQueries {
     * an aggregate + left-semi join, both plain shuffles on the 8-byte key;
     * no bucket's member list is ever materialized on one node. */
   private[queries] def guardBuckets(buckets: DataFrame, key: String,
-                                    cap: Int = MaxBucket): DataFrame = {
-    val small = buckets.groupBy(col(key))
+                                    cap: Int = MaxBucket): DataFrame =
+    guardBucketsWithStats(buckets, key, cap)._1
+
+  /** guardBuckets plus the observability row the guard owes its callers:
+    * a 1-row frame with `dropped_bucket_frac` = fraction of input ROWS that
+    * sat in over-cap buckets and were dropped. Callers surface it as an
+    * output column so scale degradation is visible in the result, never
+    * silent (a guard that quietly drops every bucket looks identical to
+    * "no duplicates" otherwise). */
+  private[queries] def guardBucketsWithStats(buckets: DataFrame, key: String,
+      cap: Int = MaxBucket): (DataFrame, DataFrame) = {
+    val sizes = buckets.groupBy(col(key))
       .agg(count(lit(1)).as("__bucket_n"))
-      .filter(col("__bucket_n") <= cap)
-      .select(col(key))
-    buckets.join(small, Seq(key), "left_semi")
+      .cache() // tiny (one row per bucket); read twice below
+    val small = sizes.filter(col("__bucket_n") <= cap).select(col(key))
+    val kept = buckets.join(small, Seq(key), "left_semi")
+    val stats = sizes.agg(
+      round(coalesce(
+        sum(when(col("__bucket_n") > cap, col("__bucket_n"))).cast("double") /
+          sum(col("__bucket_n")), lit(0.0)), 4).as("dropped_bucket_frac"))
+    (kept, stats)
   }
 
   private def docs(s: SparkSession, dir: String): DataFrame =

@@ -16,8 +16,18 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 M = (1 << 64) - 1
-NPLANES = 8
-MAX_BUCKET = 128  # DedupQueries.MaxBucket
+MIN_PLANES = 8      # Hyperplanes.MinPlanes
+TARGET_BUCKET = 16  # Hyperplanes.TargetBucket
+MAX_PLANES = 28     # Hyperplanes.MaxPlanes
+N_BANDS = 2         # Hyperplanes.NBands (dedup_embedding only)
+MAX_BUCKET = 128    # DedupQueries.MaxBucket
+
+
+def planes_for(n):
+    # Hyperplanes.planesFor: ceil(log2(ceil(n / TargetBucket))), clamped;
+    # integer-exact bit-length, same as the Scala numberOfLeadingZeros form
+    buckets = max(1, (n + TARGET_BUCKET - 1) // TARGET_BUCKET)
+    return min(MAX_PLANES, max(MIN_PLANES, (buckets - 1).bit_length()))
 
 
 def weight(p, d):
@@ -28,12 +38,14 @@ def weight(p, d):
     return (z >> 11) * 1.1102230246251565e-16 * 2.0 - 1.0
 
 
-def bucket(vec):
+def bucket(vec, nplanes, band=0):
+    # band b uses the disjoint plane set [b*nplanes, (b+1)*nplanes)
+    base = band * nplanes
     out = 0
-    for p in range(NPLANES):
+    for p in range(nplanes):
         dot = 0.0
         for d, x in enumerate(vec):
-            dot += weight(p, d) * x
+            dot += weight(base + p, d) * x
         if dot > 0:
             out |= 1 << p
     return out
@@ -65,7 +77,8 @@ def main(emb_path, lsh_out, dedup_out):
     ).fetchall()
     # float32 -> float64, matching Spark's cast(embedding as array<double>)
     vecs = {int(i): [float(x) for x in v] for i, v in rows}
-    buckets = {i: bucket(v) for i, v in vecs.items()}
+    nplanes = planes_for(len(vecs))
+    buckets = {i: bucket(v, nplanes) for i, v in vecs.items()}
 
     # ---- ann_lsh: per query (vec_id < 5) search within its bucket --------
     q_ids, cands, top1s, coss = [], [], [], []
@@ -90,21 +103,31 @@ def main(emb_path, lsh_out, dedup_out):
         "lsh_cos": pa.array(coss, pa.float64()),
     }), lsh_out)
 
-    # ---- dedup_embedding: cos >= 0.95 pairs inside guarded buckets -------
-    by_bucket = {}
-    for i, b in buckets.items():
-        by_bucket.setdefault(b, []).append(i)
-    near = {}  # vec_id -> list of cos
-    for b, members in by_bucket.items():
+    # ---- dedup_embedding: cos >= 0.95 pairs inside guarded banded buckets
+    # N_BANDS independent bucketings; candidate pairs deduped across bands
+    # before the exact cosine verify (same as the Spark distinct())
+    by_key = {}
+    for i, v in vecs.items():
+        for band in range(N_BANDS):
+            key = (band, bucket(v, nplanes, band))
+            by_key.setdefault(key, []).append(i)
+    dropped_entries = sum(len(m) for m in by_key.values()
+                          if len(m) > MAX_BUCKET)
+    dropped_frac = round4(dropped_entries / max(1, N_BANDS * len(vecs)))
+    cand = set()
+    for key, members in by_key.items():
         if len(members) > MAX_BUCKET:
             continue  # the guard drops hot buckets before the self-join
         ms = sorted(members)
         for x in range(len(ms)):
             for y in range(x + 1, len(ms)):
-                c = cosine(vecs[ms[x]], vecs[ms[y]])
-                if c >= 0.95:
-                    near.setdefault(ms[x], []).append(c)
-                    near.setdefault(ms[y], []).append(c)
+                cand.add((ms[x], ms[y]))
+    near = {}  # vec_id -> list of cos
+    for ia, ib in cand:
+        c = cosine(vecs[ia], vecs[ib])
+        if c >= 0.95:
+            near.setdefault(ia, []).append(c)
+            near.setdefault(ib, []).append(c)
     ids = sorted(vecs)
     pq.write_table(pa.table({
         "vec_id": pa.array(ids, pa.int64()),
@@ -114,6 +137,8 @@ def main(emb_path, lsh_out, dedup_out):
         "max_cos": pa.array(
             [round4(max(near[i])) if i in near else 0.0 for i in ids],
             pa.float64()),
+        "dropped_bucket_frac": pa.array(
+            [dropped_frac] * len(ids), pa.float64()),
     }), dedup_out)
     print(f"wrote {len(q_ids)} lsh rows -> {lsh_out}; "
           f"{len(ids)} dedup rows -> {dedup_out}")

@@ -5,7 +5,7 @@ coarse quantizer + probe search (AnnQueries.Ivf) and the stub media feature
 extractor (MultimodalQueries.StubDecoder), pinning the exact expected query
 outputs at sf0.01.
 
-Usage: gen_ivf_multimodal_fixtures.py <sfDir> <ivf_out> <mm_out>
+Usage: gen_ivf_multimodal_fixtures.py <sfDir> <ivf_out> <mm_out> <recall_out>
 """
 import math
 import sys
@@ -16,9 +16,15 @@ import duckdb
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-K = 16
 ITERS = 2
 NPROBE = 4
+
+
+def k_for(n):
+    # Ivf.kFor: ceil(sqrt(n)) clamped to [4, 4096] — integer-exact isqrt
+    r = math.isqrt(n)
+    k = r if r * r >= n else r + 1
+    return max(4, min(4096, k))
 
 
 def round4(x):
@@ -56,12 +62,12 @@ def nearest(cents, v):
     return best
 
 
-def train(sample):
-    cents = [list(sample[(c * len(sample)) // K]) for c in range(K)]
+def train(sample, k):
+    cents = [list(sample[(c * len(sample)) // k]) for c in range(k)]
     dim = len(sample[0])
     for _ in range(ITERS):
-        sums = [[0.0] * dim for _ in range(K)]
-        counts = [0] * K
+        sums = [[0.0] * dim for _ in range(k)]
+        counts = [0] * k
         for v in sample:
             c = nearest(cents, v)
             counts[c] += 1
@@ -69,22 +75,23 @@ def train(sample):
                 sums[c][d] += v[d]
         cents = [cents[c] if counts[c] == 0
                  else [s / counts[c] for s in sums[c]]
-                 for c in range(K)]
+                 for c in range(k)]
     return cents
 
 
-def gen_ivf(sf_dir, out):
+def gen_ivf(sf_dir, out, recall_out):
     con = duckdb.connect()
     rows = con.execute(
         f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' "
         "ORDER BY vec_id").fetchall()
     vecs = {int(i): [float(x) for x in v] for i, v in rows}
-    sample = [vecs[i] for i in sorted(vecs) if i % 7 == 0][:K * 128]
-    cents = train(sample)
+    k = k_for(len(vecs))
+    sample = [vecs[i] for i in sorted(vecs) if i % 7 == 0][:k * 128]
+    cents = train(sample, k)
     assigned = {i: nearest(cents, v) for i, v in vecs.items()}
     out_rows = []
     for q in sorted(i for i in vecs if i < 5):
-        probe = sorted(range(K), key=lambda c: dist2(cents[c], vecs[q]))[:NPROBE]
+        probe = sorted(range(k), key=lambda c: dist2(cents[c], vecs[q]))[:NPROBE]
         probe_set = set(probe)
         members = [i for i in vecs
                    if i != q and assigned[i] in probe_set]
@@ -93,18 +100,23 @@ def gen_ivf(sf_dir, out):
         brute = sorted(((cosine(vecs[q], vecs[i]), i)
                         for i in vecs if i != q),
                        key=lambda t: (-t[0], t[1]))
-        ivf_top1 = scored[0][1]
-        out_rows.append((q, ivf_top1, round4(scored[0][0]), brute[0][1],
+        ivf_top1 = scored[0][1] if scored else -1
+        ivf_cos = round4(scored[0][0]) if scored else 0.0
+        out_rows.append((q, ivf_top1, ivf_cos, brute[0][1],
                          len(members), ivf_top1 == brute[0][1]))
     pq.write_table(pa.table({
         "q_id": pa.array([r[0] for r in out_rows], pa.int64()),
         "ivf_top1": pa.array([r[1] for r in out_rows], pa.int64()),
         "ivf_cos": pa.array([r[2] for r in out_rows], pa.float64()),
-        "brute_top1": pa.array([r[3] for r in out_rows], pa.int64()),
         "probed_candidates": pa.array([r[4] for r in out_rows], pa.int64()),
-        "top1_agrees": pa.array([r[5] for r in out_rows], pa.bool_()),
     }), out)
-    print(f"wrote {len(out_rows)} ivf rows -> {out}")
+    pq.write_table(pa.table({
+        "q_id": pa.array([r[0] for r in out_rows], pa.int64()),
+        "ivf_top1": pa.array([r[1] for r in out_rows], pa.int64()),
+        "brute_top1": pa.array([r[3] for r in out_rows], pa.int64()),
+        "top1_agrees": pa.array([r[5] for r in out_rows], pa.bool_()),
+    }), recall_out)
+    print(f"wrote {len(out_rows)} ivf rows -> {out}; recall -> {recall_out}")
 
 
 def gen_multimodal(sf_dir, out):
@@ -146,5 +158,5 @@ def gen_multimodal(sf_dir, out):
 
 
 if __name__ == "__main__":
-    gen_ivf(sys.argv[1], sys.argv[2])
+    gen_ivf(sys.argv[1], sys.argv[2], sys.argv[4])
     gen_multimodal(sys.argv[1], sys.argv[3])
