@@ -15,11 +15,26 @@ import graft.engine.{Pack, SeqRow}
   */
 object PackQueries {
 
-  /** Knuth multiplicative hash of the doc index (the numeric doc_id
-    * suffix). Pure function of the row key => stable across runs,
-    * partitionings, and cluster sizes; exactly replicable in ANSI SQL
-    * (values stay far below 2^63 so both engines agree, no overflow). */
-  private final val KnuthK = 2654435761L
+  /** Format-free deterministic doc key: the first 60 bits (15 hex chars) of
+    * md5(doc_id). A pure function of the FULL id string — no assumption
+    * about any id scheme (the previous key parsed a numeric `doc_NNN`
+    * suffix and broke on any other format) — stable across runs,
+    * partitionings, and cluster sizes, and exactly expressible in both SQL
+    * dialects: Spark `conv(substring(md5(x),1,15),16,10)`, DuckDB
+    * `('0x'||substr(md5(x),1,15))::BIGINT`. 60 bits stays clear of signed
+    * overflow in both engines. */
+  private[queries] def docKey(docId: String): Long = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(docId.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (h(i) & 0xffL); i += 1 }
+    v >>> 4 // 16 hex chars read, keep the first 15 (60 bits, non-negative)
+  }
+
+  /** The same key as a Column (codegen'd builtins, no UDF). */
+  private def docKeyCol(c: org.apache.spark.sql.Column) =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   private def rowsFor(dir: String): Long =
     math.min(EngineQueries.rowsForDir(dir), 5000L)
@@ -29,8 +44,7 @@ object PackQueries {
     * order and ingestion batching — re-running over a grown corpus never
     * moves an old doc across splits. */
   def seqSplit(s: SparkSession, dir: String): DataFrame = {
-    val idx = substring(col("doc_id"), 5, 12).cast("long")
-    val h = pmod(idx * lit(KnuthK), lit(1000L))
+    val h = pmod(docKeyCol(col("doc_id")), lit(1000L))
     graft.io.CorpusTable.table(s, rowsFor(dir))
       .withColumn("split",
         when(h < 800, "train").when(h < 900, "val").otherwise("test"))
@@ -42,8 +56,8 @@ object PackQueries {
 
   val seqSplitSql: String =
     """SELECT CASE
-      |    WHEN (CAST(substr(doc_id, 5) AS BIGINT) * 2654435761) % 1000 < 800 THEN 'train'
-      |    WHEN (CAST(substr(doc_id, 5) AS BIGINT) * 2654435761) % 1000 < 900 THEN 'val'
+      |    WHEN ('0x' || substr(md5(doc_id),1,15))::BIGINT % 1000 < 800 THEN 'train'
+      |    WHEN ('0x' || substr(md5(doc_id),1,15))::BIGINT % 1000 < 900 THEN 'val'
       |    ELSE 'test' END AS split,
       |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
       |FROM read_parquet('/root/repo/data/oracle/corpus_n5000.parquet/*.parquet')
@@ -75,7 +89,7 @@ object PackQueries {
     graft.io.CorpusTable.table(s, rowsFor(dir))
       .select(col("doc_id"), col("tokens"), col("n_tok"), col("source"))
       .as[SeqRow]
-      .map(r => ((r.doc_id.drop(4).toLong * KnuthK) % PackGroups, r))
+      .map(r => (docKey(r.doc_id) % PackGroups, r))
       .toDF("grp", "row")
       .repartition(s.sparkContext.defaultParallelism, col("grp"))
       .sortWithinPartitions(col("grp"), col("row.doc_id"))

@@ -4,13 +4,15 @@ expected output as a golden fixture (same whole-pipeline-fixture pattern as
 gen_ann_fixtures.py).
 
 Spec being replicated (see PackQueries.scala / Pack.scala):
-  grp  = (doc_index * 2654435761) % 32     (doc_index = numeric doc_id suffix)
+  grp  = docKey(doc_id) % 32, where docKey = first 15 hex chars of
+         md5(doc_id) as an int (format-free — no id-scheme assumption);
   within each grp, docs ordered by doc_id; greedy sequential packing into
   4096-token bins: a bin closes when the next doc would overflow it.
 Aggregate per grp: n_bins, n_docs, n_tokens, pad_tokens.
 
 Usage: gen_pack_fixtures.py [corpus_parquet_glob] [out_parquet]
 """
+import hashlib
 import sys
 
 import duckdb
@@ -19,9 +21,13 @@ CORPUS = sys.argv[1] if len(sys.argv) > 1 else \
     "/root/repo/data/oracle/corpus_n5000.parquet/*.parquet"
 OUT = sys.argv[2] if len(sys.argv) > 2 else \
     "/root/repo/golden/pack_fixture_n5000.parquet"
-KNUTH = 2654435761
 GROUPS = 32
 BIN_LEN = 4096
+
+
+def doc_key(doc_id):
+    return int(hashlib.md5(doc_id.encode("utf-8")).hexdigest()[:15], 16)
+
 
 rows = duckdb.sql(
     f"SELECT doc_id, n_tok FROM read_parquet('{CORPUS}') ORDER BY doc_id"
@@ -29,7 +35,7 @@ rows = duckdb.sql(
 
 groups = {}
 for doc_id, n_tok in rows:
-    g = (int(doc_id[4:]) * KNUTH) % GROUPS
+    g = doc_key(doc_id) % GROUPS
     groups.setdefault(g, []).append((doc_id, n_tok))
 
 out = []
