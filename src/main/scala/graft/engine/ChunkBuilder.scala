@@ -75,6 +75,7 @@ object ChunkBuilder {
       crc32 = crc.getValue,
       min_doc_id = minDoc, max_doc_id = maxDoc,
       min_tok = minTok, max_tok = maxTok,
+      tok_set = TokenSketch.build(tokens, minTok, maxTok),
       payload = payload, meta = meta)
   }
 

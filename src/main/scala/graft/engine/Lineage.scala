@@ -33,7 +33,7 @@ object Lineage {
       part_id: Int, seq: Int, chunk_id: Long, codec: Int, n_rows: Int,
       n_tokens: Long, raw_bytes: Long, enc_bytes: Long, crc32: Long,
       offset: Long, length: Long, min_doc_id: String, max_doc_id: String,
-      min_tok: Int, max_tok: Int)
+      min_tok: Int, max_tok: Int, tok_set: Array[Byte])
 
   private def pn(pid: Int): String = f"part-$pid%05d"
 
@@ -80,7 +80,8 @@ object Lineage {
           out.write(rec)
           rows += ManifestRow(c.part_id, c.seq, c.chunk_id, c.codec, c.n_rows,
             c.n_tokens, c.raw_bytes, c.enc_bytes, c.crc32, offset,
-            rec.length.toLong, c.min_doc_id, c.max_doc_id, c.min_tok, c.max_tok)
+            rec.length.toLong, c.min_doc_id, c.max_doc_id, c.min_tok,
+            c.max_tok, c.tok_set)
           offset += rec.length
         }
         out.close()
@@ -111,13 +112,50 @@ object Lineage {
     done.value
   }
 
-  /** Read the manifest (all partitions) as a Dataset. */
+  /** Read the manifest (all partitions) as a Dataset. Prefers the compacted
+    * PARQUET manifest when present and current: at 100 TB the manifest is
+    * millions of rows and wants predicate pushdown on its zone-map columns
+    * (a pruned decode then reads manifest row groups, not every JSON line).
+    * The per-partition JSON files remain the commit protocol — the parquet
+    * copy is a read-optimization that is consulted only when its recorded
+    * partition count matches the current lineage listing (a partition
+    * committed after compaction makes it stale -> fall back to JSON). */
   def readManifest(spark: SparkSession, dir: String): Dataset[ManifestRow] = {
     import spark.implicits._
     val fs = FileSystem.get(new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(new Path(s"$dir/_lineage"))
+    val files = manifestFiles(fs, dir)
+    val countFile = new Path(s"$dir/_manifest_parquet.count")
+    val pq = s"$dir/_manifest_parquet"
+    val current = fs.exists(countFile) &&
+      fs.exists(new Path(s"$pq/_SUCCESS")) && {
+        val in = fs.open(countFile)
+        val n = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+        finally in.close()
+        n == files.length.toLong
+      }
+    if (current) spark.read.parquet(pq).as[ManifestRow]
+    else spark.read.textFile(files.toIndexedSeq: _*).map(parseManifestLine _)
+  }
+
+  private def manifestFiles(fs: FileSystem, dir: String): Array[String] =
+    fs.listStatus(new Path(s"$dir/_lineage"))
       .filter(_.getPath.getName.endsWith(".json")).map(_.getPath.toString)
+
+  /** Rewrite the committed manifest as parquet (plus a currency marker).
+    * Run after a (batch of) encodeToDir calls; idempotent. Returns the
+    * number of lineage partitions covered. */
+  def compactManifest(spark: SparkSession, dir: String): Long = {
+    import spark.implicits._
+    val fs = FileSystem.get(new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val files = manifestFiles(fs, dir)
     spark.read.textFile(files.toIndexedSeq: _*).map(parseManifestLine _)
+      .write.mode("overwrite").parquet(s"$dir/_manifest_parquet")
+    // marker written AFTER the parquet commit: readers only trust the
+    // parquet copy when this count matches the live _lineage listing
+    val out = fs.create(new Path(s"$dir/_manifest_parquet.count"), true)
+    out.write(files.length.toString.getBytes("UTF-8"))
+    out.close()
+    files.length.toLong
   }
 
   /** Decode a lineage dir back to rows: one task per chunk, seeking to its
@@ -140,18 +178,27 @@ object Lineage {
       .filter(r => r.doc_id >= lo && r.doc_id <= hi)
   }
 
-  /** Content-predicate pruned decode: only chunks whose token-VALUE range
-    * [min_tok, max_tok] covers `tok` are read — "find sequences containing
-    * token T" touches the manifest plus the chunks that can match, not the
-    * table (out-of-range vocabulary probes decode ZERO chunks). Rows are
-    * then exactly filtered by containment. */
+  /** Content-predicate pruned decode: two manifest-level levels before any
+    * payload is touched — the [min_tok, max_tok] zone map (kills
+    * out-of-range probes; a pushed-down parquet filter once compacted),
+    * then the per-chunk TokenSketch containment index (kills in-range
+    * probes for chunks that don't actually hold the value — on a zipf
+    * vocab min/max alone passes nearly every chunk). Rows of surviving
+    * chunks are then exactly filtered by containment. */
   def decodeContainingToken(spark: SparkSession, dir: String,
-                            tok: Int): Dataset[SeqRow] = {
-    import org.apache.spark.sql.functions.col
-    val pruned = readManifest(spark, dir)
-      .filter(col("min_tok") <= tok && col("max_tok") >= tok)
-    decodeManifest(spark, dir, pruned)
+                            tok: Int): Dataset[SeqRow] =
+    decodeManifest(spark, dir, manifestForToken(spark, dir, tok))
       .filter(r => r.tokens.contains(tok))
+
+  /** The manifest rows (= chunks) that survive both pruning levels for a
+    * token probe — exposed so callers/tests can observe pruning
+    * selectivity without decoding. */
+  def manifestForToken(spark: SparkSession, dir: String,
+                       tok: Int): Dataset[ManifestRow] = {
+    import org.apache.spark.sql.functions.col
+    readManifest(spark, dir)
+      .filter(col("min_tok") <= tok && col("max_tok") >= tok)
+      .filter(m => TokenSketch.mightContain(m.tok_set, m.min_tok, tok))
   }
 
   private def decodeManifest(spark: SparkSession, dir: String,
@@ -191,7 +238,7 @@ object Lineage {
     val meta = java.util.Arrays.copyOfRange(buf, r.pos, r.pos + mLen)
     EncodedChunk(m.chunk_id, m.part_id, m.seq, m.codec, m.n_rows, m.n_tokens,
       m.raw_bytes, m.enc_bytes, m.crc32, m.min_doc_id, m.max_doc_id,
-      m.min_tok, m.max_tok, payload, meta)
+      m.min_tok, m.max_tok, m.tok_set, payload, meta)
   }
 
   // ---- tiny JSON (flat schema, no deps) ----------------------------------------
@@ -205,6 +252,7 @@ object Lineage {
     s""""raw_bytes":${r.raw_bytes},"enc_bytes":${r.enc_bytes},"crc32":${r.crc32},""" +
     s""""offset":${r.offset},"length":${r.length},""" +
     s""""min_tok":${r.min_tok},"max_tok":${r.max_tok},""" +
+    s""""tok_set":"${java.util.Base64.getEncoder.encodeToString(r.tok_set)}",""" +
     s""""min_doc_id":"${esc(r.min_doc_id)}","max_doc_id":"${esc(r.max_doc_id)}"}"""
 
   private def parseManifestLine(line: String): ManifestRow = {
@@ -228,11 +276,17 @@ object Lineage {
         throw new IllegalArgumentException(s"manifest line missing $k: $line"))
       raw.replace("\\\"", "\"").replace("\\\\", "\\")
     }
+    // tok_set is base64 (never escaped); missing (pre-upgrade manifest)
+    // defaults to the empty "unknown" sketch, which never prunes
+    val tokSet = """"tok_set":"([A-Za-z0-9+/=]*)"""".r.findFirstMatchIn(line)
+      .map(m => java.util.Base64.getDecoder.decode(m.group(1)))
+      .getOrElse(Array.emptyByteArray)
     ManifestRow(num("part_id").toInt, num("seq").toInt, num("chunk_id"),
       num("codec").toInt, num("n_rows").toInt, num("n_tokens"),
       num("raw_bytes"), num("enc_bytes"), num("crc32"), num("offset"),
       num("length"), str("min_doc_id"), str("max_doc_id"),
-      numOr("min_tok", Int.MinValue).toInt, numOr("max_tok", Int.MaxValue).toInt)
+      numOr("min_tok", Int.MinValue).toInt, numOr("max_tok", Int.MaxValue).toInt,
+      tokSet)
   }
 
   private def writeVarint(bos: java.io.ByteArrayOutputStream, v0: Long): Unit = {

@@ -31,6 +31,7 @@ final case class EncodedChunk(
     max_doc_id: String,
     min_tok: Int,         // token-VALUE bounds: content-predicate pruning
     max_tok: Int,         //   ("chunks that can contain token T") without decode
+    tok_set: Array[Byte], // TokenSketch: exact-or-Bloom containment index
     payload: Array[Byte], // framed TokenCodec output over concatenated tokens
     meta: Array[Byte])    // framed side columns: row lens, sources, doc_ids
 

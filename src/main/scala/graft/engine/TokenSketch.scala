@@ -1,0 +1,113 @@
+package graft.engine
+
+/** Per-chunk token CONTAINMENT sketch — the zone map's second level. min/max
+  * bounds prune probes outside the chunk's value range, but on a zipf vocab
+  * most chunks span nearly the whole range, so an in-vocab rare-token probe
+  * would still decode every chunk. This sketch answers "might token t occur
+  * in this chunk?" from the manifest alone:
+  *
+  *  - mode 1 (exact bitmap): when the chunk's value range (max_tok-min_tok)
+  *    fits 2^16, a plain bitset over [min_tok, max_tok] — at most 8 KB,
+  *    ZERO false positives. The real token domain (vocab 50k) always takes
+  *    this path, so containment pruning is exact, not probabilistic.
+  *  - mode 2 (Bloom): arbitrary int domains (fuzz, foreign data) get a
+  *    fixed 2 KB, k=4 Bloom over the values — false positives only cost a
+  *    wasted decode, never a missed row.
+  *
+  * An EMPTY sketch (old chunks/manifests written before this existed) means
+  * "unknown": mightContain returns true, pruning degrades to min/max only.
+  * Reference analog: this is the engine's answer to selective chunked
+  * decode (`/root/reference/tests/test_ppmd7.py:95-146`) for content
+  * predicates rather than offsets. */
+object TokenSketch {
+
+  final val BitmapMaxRange = 1 << 16 // 8 KB ceiling for the exact mode
+  final val BloomBits = 1 << 14      // 2 KB fallback Bloom
+  final val BloomK = 4
+
+  /** Build from a chunk's token values and its (already computed) bounds.
+    * Empty chunks get an empty sketch — their inverted min/max sentinels
+    * already exclude every probe before the sketch is consulted. */
+  def build(tokens: Array[Int], minTok: Int, maxTok: Int): Array[Byte] = {
+    if (tokens.isEmpty) return Array.emptyByteArray
+    val range = maxTok.toLong - minTok.toLong + 1L
+    if (range <= BitmapMaxRange) {
+      val nBytes = ((range + 7) / 8).toInt
+      val out = new Array[Byte](1 + 5 + nBytes) // worst-case varint(range)
+      out(0) = 1
+      var pos = writeVarint(out, 1, range)
+      val bitBase = pos
+      var i = 0
+      while (i < tokens.length) {
+        val off = tokens(i) - minTok
+        out(bitBase + (off >>> 3)) = (out(bitBase + (off >>> 3)) | (1 << (off & 7))).toByte
+        i += 1
+      }
+      java.util.Arrays.copyOf(out, bitBase + nBytes)
+    } else {
+      val out = new Array[Byte](1 + BloomBits / 8)
+      out(0) = 2
+      var i = 0
+      while (i < tokens.length) {
+        var h = mix(tokens(i).toLong)
+        var k = 0
+        while (k < BloomK) {
+          val bit = (h & (BloomBits - 1)).toInt
+          out(1 + (bit >>> 3)) = (out(1 + (bit >>> 3)) | (1 << (bit & 7))).toByte
+          h = h >>> 14
+          k += 1
+        }
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Consult the sketch; `true` means "must decode" (conservative on empty
+    * or unknown modes). The caller has already applied the min/max bounds,
+    * so `tok` is inside [minTok, maxTok] when this is called with mode 1. */
+  def mightContain(sketch: Array[Byte], minTok: Int, tok: Int): Boolean = {
+    if (sketch == null || sketch.length == 0) return true
+    sketch(0) match {
+      case 1 =>
+        val r = new graft.codec.Varint.Reader(sketch)
+        r.pos = 1
+        val range = r.read()
+        val off = tok.toLong - minTok.toLong
+        if (off < 0 || off >= range) false
+        else {
+          val idx = r.pos + (off >>> 3).toInt
+          idx < sketch.length && ((sketch(idx) >> (off & 7).toInt) & 1) != 0
+        }
+      case 2 =>
+        var h = mix(tok.toLong)
+        var k = 0
+        var all = true
+        while (k < BloomK && all) {
+          val bit = (h & (BloomBits - 1)).toInt
+          all = ((sketch(1 + (bit >>> 3)) >> (bit & 7)) & 1) != 0
+          h = h >>> 14
+          k += 1
+        }
+        all
+      case _ => true // future mode: never prune what we can't read
+    }
+  }
+
+  private def mix(z0: Long): Long = {
+    var z = z0 ^ 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  private def writeVarint(buf: Array[Byte], pos0: Int, v0: Long): Int = {
+    var pos = pos0
+    var v = v0
+    while ((v & ~0x7fL) != 0L) {
+      buf(pos) = ((v & 0x7f) | 0x80).toByte; pos += 1; v >>>= 7
+    }
+    buf(pos) = v.toByte
+    pos + 1
+  }
+}

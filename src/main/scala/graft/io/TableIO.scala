@@ -23,15 +23,18 @@ private[io] object ZoneDefaults {
   import org.apache.spark.sql.DataFrame
   import org.apache.spark.sql.functions.lit
 
-  /** Chunk tables written before the token zone map existed lack
-    * min_tok/max_tok: default to the conservative "could contain anything"
-    * range so old tables still decode (never prunes, always correct). */
+  /** Chunk tables written before the token zone map / containment sketch
+    * existed lack min_tok/max_tok/tok_set: default to the conservative
+    * "could contain anything" values so old tables still decode (never
+    * prunes, always correct). */
   def apply(df: DataFrame): DataFrame = {
     var out = df
     if (!df.columns.contains("min_tok"))
       out = out.withColumn("min_tok", lit(Int.MinValue))
     if (!df.columns.contains("max_tok"))
       out = out.withColumn("max_tok", lit(Int.MaxValue))
+    if (!df.columns.contains("tok_set"))
+      out = out.withColumn("tok_set", lit(Array.emptyByteArray))
     out
   }
 }
@@ -91,18 +94,24 @@ object JsonTableIO extends TableIO {
 
   override def writeChunks(chunks: Dataset[EncodedChunk], path: String): Unit =
     chunks.toDF()
+      .withColumn("tok_set", base64(col("tok_set")))
       .withColumn("payload", base64(col("payload")))
       .withColumn("meta", base64(col("meta")))
       .write.mode(SaveMode.Overwrite).json(path)
 
   override def readChunks(spark: SparkSession, path: String): Dataset[EncodedChunk] = {
     import spark.implicits._
-    ZoneDefaults(spark.read.json(path))
+    val raw = spark.read.json(path)
+    val withSet =
+      if (raw.columns.contains("tok_set"))
+        raw.withColumn("tok_set", unbase64(col("tok_set")))
+      else raw
+    ZoneDefaults(withSet)
       .withColumn("payload", unbase64(col("payload")))
       .withColumn("meta", unbase64(col("meta")))
       .select("chunk_id", "part_id", "seq", "codec", "n_rows", "n_tokens",
         "raw_bytes", "enc_bytes", "crc32", "min_doc_id", "max_doc_id",
-        "min_tok", "max_tok", "payload", "meta")
+        "min_tok", "max_tok", "tok_set", "payload", "meta")
       .selectExpr("CAST(chunk_id AS LONG) chunk_id",
         "CAST(part_id AS INT) part_id", "CAST(seq AS INT) seq",
         "CAST(codec AS INT) codec", "CAST(n_rows AS INT) n_rows",
@@ -110,7 +119,7 @@ object JsonTableIO extends TableIO {
         "CAST(enc_bytes AS LONG) enc_bytes", "CAST(crc32 AS LONG) crc32",
         "min_doc_id", "max_doc_id",
         "CAST(min_tok AS INT) min_tok", "CAST(max_tok AS INT) max_tok",
-        "payload", "meta")
+        "tok_set", "payload", "meta")
       .as[EncodedChunk]
   }
 }

@@ -97,6 +97,90 @@ class LineageSpec extends AnyFunSuite {
       .filter(col("min_tok") <= oov && col("max_tok") >= oov).count() == 0L)
   }
 
+  test("containment sketch prunes in-vocab rare-token probes on a zipf " +
+      "corpus where min/max alone decodes nearly everything") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = tmpDir()
+    // pure zipf(s=1.1) rows over the vocab (same inverse-CDF as the corpus
+    // generator): every chunk's [min_tok, max_tok] spans most of the vocab,
+    // so the min/max zone map is useless for in-vocab probes — exactly the
+    // regime the per-chunk containment sketch exists for
+    val vPow = math.pow(graft.io.Corpus.V.toDouble, -0.1)
+    def zipfTok(u: Double): Int = {
+      val v = (math.pow(1.0 + u * (vPow - 1.0), -10.0) - 1.0).toInt
+      math.max(0, math.min(graft.io.Corpus.V - 1, v))
+    }
+    def mix(z0: Long): Long = {
+      var z = z0 ^ 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val rows = (0 until 400).map { i =>
+      val toks = Array.tabulate(512) { j =>
+        zipfTok((mix(i.toLong * 4099L + j) >>> 11).toDouble * 1.1102230246251565e-16)
+      }
+      SeqRow(f"doc-$i%012d", toks, toks.length, "zipf")
+    }
+    val ds = spark.createDataset(rows)
+    Lineage.encodeToDir(ds, dir, EncoderConfig(chunkTokens = 4096,
+      numPartitions = 4))
+    // probe: a token that occurs exactly once in the corpus (rare but
+    // in-vocab and comfortably inside every chunk's min/max range)
+    val counts = rows.flatMap(_.tokens).groupBy(identity)
+      .view.mapValues(_.length)
+    val tok = counts.filter { case (t, n) => n == 1 && t < 20000 }.keys.min
+    val all = Lineage.readManifest(spark, dir).count()
+    val minmaxPass = Lineage.readManifest(spark, dir)
+      .filter(col("min_tok") <= tok && col("max_tok") >= tok).count()
+    val sketchPass = Lineage.manifestForToken(spark, dir, tok).count()
+    // min/max is blind here; the sketch (exact bitmap at vocab-sized
+    // ranges) prunes to the single chunk that actually holds the token
+    assert(minmaxPass >= all / 2, s"min/max passed $minmaxPass of $all")
+    assert(sketchPass == 1L, s"sketch passed $sketchPass chunks (want 1)")
+    val got = Lineage.decodeContainingToken(spark, dir, tok).collect()
+    val expect = rows.filter(_.tokens.contains(tok)).map(_.doc_id).toSet
+    assert(got.map(_.doc_id).toSet == expect && expect.size == 1)
+    info(s"probe tok=$tok: $all chunks, min/max passes $minmaxPass, " +
+      s"sketch passes $sketchPass")
+  }
+
+  test("parquet-compacted manifest: pushdown plan, identical decode, " +
+      "stale copy falls back to JSON") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmpDir()
+    val ds = Corpus.table(spark, 300, partitions = 3)
+    val cfg = EncoderConfig(chunkTokens = 8192, numPartitions = 3)
+    assert(Lineage.encodeToDir(ds, dir, cfg) == 3L)
+    val viaJson = Lineage.decodeFromDir(spark, dir).collect()
+      .map(r => r.doc_id -> r.tokens.toSeq).toMap
+    assert(Lineage.compactManifest(spark, dir) == 3L)
+    // reads now come from parquet, with zone-map predicates PUSHED into the
+    // scan (the 100-TB manifest shape: millions of manifest rows, read by
+    // row group instead of line-by-line)
+    val m = Lineage.readManifest(spark, dir)
+    assert(m.queryExecution.executedPlan.toString.contains("parquet"),
+      "manifest read not backed by parquet after compaction")
+    val planned = m.filter(col("min_tok") <= 7 && col("max_tok") >= 7)
+      .queryExecution.executedPlan.toString
+    assert(planned.contains("PushedFilters") && planned.contains("min_tok"),
+      s"zone-map filters not pushed:\n$planned")
+    // decode through the parquet manifest is bit-identical
+    val viaParquet = Lineage.decodeFromDir(spark, dir).collect()
+      .map(r => r.doc_id -> r.tokens.toSeq).toMap
+    assert(viaParquet == viaJson)
+    // resume still keys off the per-partition JSON commit protocol
+    assert(Lineage.encodeToDir(ds, dir, cfg) == 0L)
+    // staleness: the lineage listing changed after compaction -> the
+    // parquet copy is ignored, reads see the live JSON state
+    Files.delete(Paths.get(dir, "_lineage", "part-00002.json"))
+    val live = Lineage.readManifest(spark, dir)
+    assert(!live.queryExecution.executedPlan.toString.contains("parquet"),
+      "stale parquet manifest was trusted")
+    assert(live.collect().map(_.part_id).toSet == Set(0, 1))
+  }
+
   test("encodeToDir is byte-deterministic across runs (resume soundness)") {
     val ds = Corpus.table(spark, 500, partitions = 4)
     val cfg = EncoderConfig(chunkTokens = 8192, numPartitions = 4)
