@@ -92,6 +92,9 @@ object SparkEntry {
     // to /root/repo/data/oracle/corpus_n5000.parquet (CorpusTable.ensure);
     // DuckDB recomputes over the identical bytes
     "token_stats" -> EngineQueries.tokenStatsSql,
+    // per-codec rows: deterministic golden fixture (engine-specific sizes
+    // under a FIXED partitioning); '_total' row: corpus-recomputed tokens
+    "codec_histogram" -> EngineQueries.codecHistogramSql,
     "encode_roundtrip" -> EngineQueries.encodeRoundtripSql,
     "encode_docs" -> EngineQueries.encodeDocsSql,
     "lineage_roundtrip" -> EngineQueries.lineageRoundtripSql,

@@ -59,16 +59,30 @@ object EngineQueries {
   /** Codec-selection histogram over the encoded chunk table, splitting the
     * token payload from the side metadata (doc_ids/sources/lens) so the
     * tokens-only ratio is directly comparable to the PPMd reference (whose
-    * number covers tokens only). */
+    * number covers tokens only).
+    *
+    * Oracled (was rows-only in r1/r2): the encode is byte-deterministic
+    * given a FIXED partition count (proven by LineageSpec/ScalingBench), so
+    * with numPartitions pinned at 32 the whole histogram is a pure function
+    * of the corpus — per-codec rows are pinned as a golden fixture, and the
+    * appended '_total' row carries n_tokens/raw_bytes that the DuckDB twin
+    * recomputes from the materialized corpus parquet (the hard channel: a
+    * drift in the engine's token/byte accounting breaks the compare even
+    * though compressed sizes are engine-specific). */
   def codecHistogram(s: SparkSession, dir: String): DataFrame = {
     val ds = Corpus.table(s, rowsForDir(dir),
       partitions = s.sparkContext.defaultParallelism)
-    val chunks = Encoder.encodeTable(ds, cfgFor(s))
+    // fixed partitioning (NOT defaultParallelism): chunk membership, and so
+    // the histogram, must not depend on the host's core count
+    val chunks = Encoder.encodeTable(ds,
+      EncoderConfig(chunkTokens = 1 << 18, numPartitions = 32))
     import s.implicits._
-    chunks.map(c => (graft.codec.CodecId.name(c.codec.toByte), c.n_tokens,
-        c.raw_bytes, c.payload.length.toLong, c.meta.length.toLong))
+    val perChunk = chunks.map(c =>
+        (graft.codec.CodecId.name(c.codec.toByte), c.n_tokens,
+          c.raw_bytes, c.payload.length.toLong, c.meta.length.toLong))
       .toDF("codec", "n_tokens", "raw_bytes", "payload_bytes", "meta_bytes")
-      .groupBy(col("codec"))
+      .cache()
+    def agg(g: org.apache.spark.sql.RelationalGroupedDataset): DataFrame = g
       .agg(count(lit(1)).as("n_chunks"),
         sum("n_tokens").as("n_tokens"),
         sum("raw_bytes").as("raw_bytes"),
@@ -76,8 +90,32 @@ object EngineQueries {
         sum("meta_bytes").as("meta_bytes"))
       .withColumn("payload_ratio",
         round(col("payload_bytes") / col("raw_bytes"), 4))
-      .orderBy(col("codec"))
+    val hist = agg(perChunk.groupBy(col("codec")))
+    val total = agg(perChunk.withColumn("codec", lit("_total"))
+      .groupBy(col("codec")))
+    hist.unionByName(total).orderBy(col("codec"))
   }
+
+  /** Twin: per-codec rows from the pinned fixture (engine-specific sizes,
+    * deterministic under the fixed partitioning), '_total' n_tokens and
+    * raw_bytes recomputed from the corpus by DuckDB, byte sums from the
+    * fixture. Valid at the driver's sf0.01 run (5000 rows). */
+  val codecHistogramSql: String =
+    """WITH f AS (
+      |  SELECT * FROM read_parquet('/root/repo/golden/codec_histogram_n5000.parquet')),
+      |c AS (
+      |  SELECT CAST(sum(n_tok) AS BIGINT) AS n_tokens
+      |  FROM read_parquet('/root/repo/data/oracle/corpus_n5000.parquet/*.parquet'))
+      |SELECT codec, n_chunks, n_tokens, raw_bytes, payload_bytes, meta_bytes,
+      |  payload_ratio
+      |FROM f
+      |UNION ALL
+      |SELECT '_total', (SELECT sum(n_chunks) FROM f), c.n_tokens,
+      |  4 * c.n_tokens,
+      |  (SELECT sum(payload_bytes) FROM f), (SELECT sum(meta_bytes) FROM f),
+      |  round((SELECT sum(payload_bytes) FROM f) * 1.0 / (4 * c.n_tokens), 4)
+      |FROM c
+      |ORDER BY codec""".stripMargin
 
   /** Encode the driver's documents table: deterministic whitespace+hash
     * tokenizer -> SeqRow -> encode -> decode -> verify; per-source summary.
