@@ -30,6 +30,15 @@ import java.util.zip.CRC32
   *                  previous code's top 5 bits (static stand-in for the
   *                  reference's adaptive contexts on text payloads)
   *          mode 6: [HuffmanO1 block over the raw bytes]
+  *          mode 7: [varint dictFrameLen][inner Fsst frame: word dict]
+  *                  [TokenCodec frame over the word-id stream] — word-level
+  *                  model (WordModel): text as ids over its own vocabulary
+  *          mode 8: [varint dictFrameLen][inner Fsst frame: word dict]
+  *                  [HuffmanO1Wide block over the id bytes] — word model
+  *                  with FULL order-1 coding of the id stream (vocab <=
+  *                  256): "which word follows which", the static recast of
+  *                  the reference's deep text contexts
+  *          mode 9: [HuffmanO1Wide block over the raw bytes]
   *          mode 0: [raw bytes]
   *          [crc32 LE of all previous bytes]
   * The encoder computes every applicable mode and keeps the smallest; raw
@@ -206,7 +215,12 @@ object Fsst {
   /** Self-contained framed encode: trains on the data, embeds the table,
     * second-stage packs the code stream when that wins, falls back to raw
     * if FSST does not win at all. Never expands beyond header + rawLen. */
-  def encode(data: Array[Byte]): Array[Byte] = {
+  def encode(data: Array[Byte]): Array[Byte] = encodeInner(data, true)
+
+  /** allowWordModel=false breaks the recursion when the word dict blob is
+    * itself Fsst-framed (the dict is small; word-modeling it again could
+    * recurse and never wins anyway). */
+  private def encodeInner(data: Array[Byte], allowWordModel: Boolean): Array[Byte] = {
     val table = if (data.length >= 16) train(data) else new SymbolTable(Array.empty)
     val packed =
       if (table.symbols.nonEmpty) compressWith(table, data) else null
@@ -230,17 +244,54 @@ object Fsst {
     // approximation of the reference's adaptive contexts for text payloads
     val packed5 = if (packed == null) null else HuffmanO1.encode(packed)
     val packed6 = if (data.length >= 64) HuffmanO1.encode(data) else null
+    val packed9 = if (data.length >= 64) HuffmanO1Wide.encode(data) else null
+    // word-level model (modes 7/8): dictionary the word/separator runs and
+    // entropy-code the id stream — the winning shape for natural-language
+    // text, where the vocabulary is tiny relative to the byte stream
+    var word7: Array[Byte] = null
+    var word8: Array[Byte] = null
+    if (allowWordModel && data.length >= 1024) {
+      val (entries, ids) = WordModel.tokenize(data)
+      if (entries.length >= 2 && entries.length <= (1 << 16) &&
+          entries.length.toLong * 16 < data.length) {
+        // vocab must be MUCH smaller than the data or the model can't win
+        // (and the attempt would tax the chunk hot path: doc_id blobs have
+        // vocab ~ nRows and are correctly rejected here)
+        val dictFrame = encodeInner(WordModel.packDict(entries), false)
+        def withDict(idsBlock: Array[Byte]): Array[Byte] = {
+          val bos = new java.io.ByteArrayOutputStream(
+            dictFrame.length + idsBlock.length + 8)
+          writeVarint(bos, dictFrame.length.toLong)
+          bos.write(dictFrame, 0, dictFrame.length)
+          bos.write(idsBlock, 0, idsBlock.length)
+          bos.toByteArray
+        }
+        word7 = withDict(TokenCodec.encodeAutoFlat(ids))
+        if (entries.length <= 256) {
+          val idBytes = new Array[Byte](ids.length)
+          var i = 0
+          while (i < ids.length) { idBytes(i) = ids(i).toByte; i += 1 }
+          word8 = withDict(HuffmanO1Wide.encode(idBytes))
+        }
+      }
+    }
     val size1 = if (packed == null) Int.MaxValue else tableLen + packed.length
     val size2 = if (packed2 == null) Int.MaxValue else tableLen + packed2.length
     val size3 = if (packed3 == null) Int.MaxValue else tableLen + packed3.length
     val size4 = if (packed4 == null) Int.MaxValue else packed4.length
     val size5 = if (packed5 == null) Int.MaxValue else tableLen + packed5.length
     val size6 = if (packed6 == null) Int.MaxValue else packed6.length
-    val best = math.min(math.min(math.min(size1, size2), math.min(size3, size4)),
-      math.min(size5, size6))
+    val size7 = if (word7 == null) Int.MaxValue else word7.length
+    val size8 = if (word8 == null) Int.MaxValue else word8.length
+    val size9 = if (packed9 == null) Int.MaxValue else packed9.length
+    val best = Seq(size1, size2, size3, size4, size5, size6, size7, size8,
+      size9).min
     val mode =
       if (best >= data.length) 0
+      else if (best == size8) 8
+      else if (best == size7) 7
       else if (best == size5) 5
+      else if (best == size9) 9
       else if (best == size6) 6
       else if (best == size3) 3
       else if (best == size2) 2
@@ -254,6 +305,12 @@ object Fsst {
       bos.write(packed4, 0, packed4.length)
     } else if (mode == 6) {
       bos.write(packed6, 0, packed6.length)
+    } else if (mode == 9) {
+      bos.write(packed9, 0, packed9.length)
+    } else if (mode == 7) {
+      bos.write(word7, 0, word7.length)
+    } else if (mode == 8) {
+      bos.write(word8, 0, word8.length)
     } else if (mode > 0) {
       bos.write(table.symbols.length)
       table.symbols.foreach { s => bos.write(s.length); bos.write(s, 0, s.length) }
@@ -295,6 +352,47 @@ object Fsst {
       case 6 =>
         val out = HuffmanO1.decode(bytes, r.pos, end)
         if (out.length != rawLen) throw CorruptException("o1 raw length")
+        out
+      case 9 =>
+        val out = HuffmanO1Wide.decode(bytes, r.pos, end)
+        if (out.length != rawLen) throw CorruptException("o1w raw length")
+        out
+      case 7 | 8 =>
+        val dictLen = r.read().toInt
+        if (dictLen < 0 || r.pos + dictLen > end) throw TruncatedException
+        val dictFrame = java.util.Arrays.copyOfRange(bytes, r.pos, r.pos + dictLen)
+        val entries = WordModel.unpackDict(decode(dictFrame))
+        val p = r.pos + dictLen
+        val ids: Array[Int] =
+          if (mode == 7) TokenCodec.decodeRange(bytes, p, end) match {
+            case Decoded(v) => v
+            case Truncated  => throw TruncatedException
+            case Corrupt(m) => throw CorruptException(m)
+          } else {
+            val b = HuffmanO1Wide.decode(bytes, p, end)
+            val v = new Array[Int](b.length)
+            var i = 0
+            while (i < b.length) { v(i) = b(i) & 0xff; i += 1 }
+            v
+          }
+        var total = 0L
+        var i = 0
+        while (i < ids.length) {
+          if (ids(i) < 0 || ids(i) >= entries.length)
+            throw CorruptException("word id out of dict")
+          total += entries(ids(i)).length
+          i += 1
+        }
+        if (total != rawLen) throw CorruptException("word model raw length")
+        val out = new Array[Byte](rawLen)
+        var o = 0
+        i = 0
+        while (i < ids.length) {
+          val e = entries(ids(i))
+          System.arraycopy(e, 0, out, o, e.length)
+          o += e.length
+          i += 1
+        }
         out
       case 1 | 2 | 3 | 5 =>
         if (r.pos >= end) throw TruncatedException

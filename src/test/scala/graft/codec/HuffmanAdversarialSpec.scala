@@ -33,7 +33,9 @@ class HuffmanAdversarialSpec extends AnyFunSuite with GenChecks {
       i += 1
     }
     val enc = Fsst.encode(data)
-    assert(enc(2) == 5 || enc(2) == 6, s"mode=${enc(2)}")
+    // an ORDER-1 mode must win (32-class 5/6, or since r3 the full-context
+    // wide variant 9, which sees the exact prev byte and codes tighter)
+    assert(enc(2) == 5 || enc(2) == 6 || enc(2) == 9, s"mode=${enc(2)}")
     assert(enc.length < Huffman.encode(data).length) // beats order-0
     assert(Fsst.decode(enc).sameElements(data))
     val bad = enc.clone()

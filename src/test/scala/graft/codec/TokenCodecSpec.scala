@@ -184,14 +184,17 @@ class FsstSpec extends AnyFunSuite with GenChecks {
     assert(TokenCodec.decode(bad).isInstanceOf[Corrupt])
   }
 
-  test("fsst entropy stage (mode 3) wins on text and roundtrips") {
+  test("an entropy/word stage wins on text and roundtrips") {
     val words = Array("the", "of", "compression", "spark", "token",
       "column", "a", "entropy", "static", "chunk")
     val rng = new graft.io.Corpus.Rng(9L)
     val text = Array.fill(4000)(words(rng.nextInt(words.length)))
       .mkString(" ").getBytes
     val enc = Fsst.encode(text)
-    assert(enc(2) == 3, s"expected huffman mode, got mode ${enc(2)}")
+    // an entropy-coded mode must win over plain FSST/raw on text; since r3
+    // the word model (7/8) usually beats the byte-context stack (3/5/6/9)
+    assert(Set(3, 5, 6, 7, 8, 9).contains(enc(2).toInt),
+      s"expected an entropy/word mode, got mode ${enc(2)}")
     assert(enc.length < text.length / 4, s"${enc.length} vs ${text.length}")
     assert(Fsst.decode(enc).sameElements(text))
   }
