@@ -86,7 +86,7 @@ object AnnQueries {
   def annLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val raw = embRaw(s, dir)
-    val planes = Hyperplanes.planesFor(raw.count())
+    val planes = Hyperplanes.planesFor(raw.count(), Hyperplanes.targetBucket(s))
     val e = raw.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("vec"))
       .as[(Long, Array[Double])]
@@ -142,7 +142,7 @@ object AnnQueries {
     import s.implicits._
     val raw = embRaw(s, dir)
     val n = raw.count()
-    val k = Ivf.kFor(n)
+    val k = Ivf.kFor(n, Ivf.maxK(s))
     val e = raw.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("vec"))
       .as[(Long, Array[Double])]
@@ -241,7 +241,7 @@ object AnnQueries {
   private[queries] def dedupEmbeddingOver(s: SparkSession, raw: DataFrame)
       : DataFrame = {
     import s.implicits._
-    val planes = Hyperplanes.planesFor(raw.count())
+    val planes = Hyperplanes.planesFor(raw.count(), Hyperplanes.targetBucket(s))
     val e = raw.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("vec"))
       .as[(Long, Array[Double])]
@@ -252,8 +252,8 @@ object AnnQueries {
       .cache()
     val banded = e.select(col("vec_id"),
       explode(col("band_keys")).as("band_key"))
-    val (guarded, dropStats) =
-      DedupQueries.guardBucketsWithStats(banded, "band_key")
+    val (guarded, dropStats) = DedupQueries.guardBucketsWithStats(
+      banded, "band_key", DedupQueries.maxBucket(s))
     val a = guarded.as("a"); val b = guarded.as("b")
     // candidate ids first (a pair found by both bands must score ONCE),
     // then join the vectors back for the exact cosine verify — the same
@@ -291,12 +291,18 @@ object Ivf {
     * that degrade toward brute force as the corpus grows. Integer-exact
     * (isqrt + adjust) so the Python oracle replica computes the identical
     * k from the identical N. */
-  def kFor(n: Long): Int = {
+  final val MaxK = 4096
+  def kFor(n: Long, cap: Int = MaxK): Int = {
     val r = math.sqrt(math.max(0L, n).toDouble).toLong
     val r2 = if (r * r > n) r - 1 else r // exact isqrt
     val k = if (r2 * r2 >= n) r2 else r2 + 1 // ceil(sqrt(n))
-    math.max(4L, math.min(4096L, k)).toInt
+    math.max(4L, math.min(cap.toLong, k)).toInt
   }
+
+  /** Session knob for the list-count ceiling (`graft.ivf.maxK`): a bigger
+    * cluster budget is a config change, not a rebuild. */
+  def maxK(s: org.apache.spark.sql.SparkSession): Int =
+    s.conf.get("graft.ivf.maxK", MaxK.toString).toInt
 
   /** Evenly-strided init from the sample refined by `iters` Lloyd steps.
     * Pure function of its inputs. */
@@ -374,14 +380,19 @@ object Hyperplanes {
     * per band -> 0 of 200 planted pairs lost at 50k vectors). */
   final val NBands = 2
 
-  /** ceil(log2(ceil(n / TargetBucket))), clamped — integer-exact (pure bit
+  /** ceil(log2(ceil(n / target))), clamped — integer-exact (pure bit
     * length, no float log) so the Python oracle replica derives the
-    * identical plane count from the identical N. */
-  def planesFor(n: Long): Int = {
-    val buckets = math.max(1L, (n + TargetBucket - 1) / TargetBucket)
+    * identical plane count from the identical N. The target is tunable per
+    * session via `graft.lsh.targetBucket` (read by the query layer); the
+    * oracle replicas pin the default. */
+  def planesFor(n: Long, target: Long = TargetBucket): Int = {
+    val buckets = math.max(1L, (n + target - 1) / target)
     val p = 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1)
     math.min(MaxPlanes, math.max(MinPlanes, p))
   }
+
+  def targetBucket(s: SparkSession): Long =
+    s.conf.get("graft.lsh.targetBucket", TargetBucket.toString).toLong
 
   /** plane p, dim d -> weight in [-1, 1), splitmix64-derived. Unsigned
     * shift is load-bearing: a signed shift folds every weight into [-2, 0),

@@ -23,8 +23,13 @@ object DedupQueries {
 
   /** Bucket-size cap for all LSH-family self-joins: caps the worst-case
     * per-bucket pair expansion at MaxBucket^2/2 (~8k pairs), independent of
-    * corpus size or duplication rate. */
+    * corpus size or duplication rate. Tunable per session via
+    * `graft.dedup.maxBucket` (a config change, not a rebuild — the oracle
+    * replicas pin the default). */
   final val MaxBucket = 128
+
+  private[queries] def maxBucket(s: SparkSession): Int =
+    s.conf.get("graft.dedup.maxBucket", MaxBucket.toString).toInt
 
   /** Keep only bucket rows whose `key` bucket has <= MaxBucket members —
     * an aggregate + left-semi join, both plain shuffles on the 8-byte key;
@@ -122,7 +127,7 @@ object DedupQueries {
         (id, Shingles.minhashBandKeys(shingles, nHashes = 32, bands = 8)) }
       .toDF("doc_id", "band_keys")
     val buckets = guardBuckets(sigs.select(col("doc_id"),
-      explode(col("band_keys")).as("band_key")), "band_key")
+      explode(col("band_keys")).as("band_key")), "band_key", maxBucket(s))
     // candidate pairs: self-join inside buckets; a<b kills mirror duplicates
     val a = buckets.as("a"); val b = buckets.as("b")
     val cand = a.join(b, col("a.band_key") === col("b.band_key") &&
@@ -167,7 +172,7 @@ object DedupQueries {
           "named_struct('band', 3, 'key', simhash & 65535))")).as("b"))
       .select(col("doc_id"), col("simhash"),
         concat(col("b.band"), lit(":"), col("b.key")).as("band_key"))
-    val guarded = guardBuckets(banded, "band_key")
+    val guarded = guardBuckets(banded, "band_key", maxBucket(s))
     val a = guarded.as("a"); val b = guarded.as("b")
     val cand = a.join(b, col("a.band_key") === col("b.band_key") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -202,7 +207,7 @@ object DedupQueries {
       .map { case (id, g) => (id, Shingles.minhashBandKeys(g, 16, 4)) }
       .toDF("doc_id", "band_keys")
       .select(col("doc_id"), explode(col("band_keys")).as("band_key")),
-      "band_key")
+      "band_key", maxBucket(s))
     val a = buckets.as("a"); val b = buckets.as("b")
     val cand = a.join(b, col("a.band_key") === col("b.band_key") &&
         col("a.doc_id") < col("b.doc_id"))
