@@ -253,10 +253,13 @@ object Fsst {
     if (allowWordModel && data.length >= 1024) {
       val (entries, ids) = WordModel.tokenize(data)
       if (entries.length >= 2 && entries.length <= (1 << 16) &&
-          entries.length.toLong * 16 < data.length) {
-        // vocab must be MUCH smaller than the data or the model can't win
-        // (and the attempt would tax the chunk hot path: doc_id blobs have
-        // vocab ~ nRows and are correctly rejected here)
+          ids.length >= entries.length * 4) {
+        // worth modeling only when tokens REPEAT (avg >= 4 occurrences):
+        // that is what the dictionary amortizes against. Low-repetition
+        // inputs — chunk doc_id blobs have vocab ~ nRows — are rejected
+        // BEFORE the expensive dict-frame/id-stream encodes, keeping the
+        // attempt off the per-chunk hot path (a *16-vocab-size guard here
+        // let doc_id blobs through and cost ~25% encode throughput)
         val dictFrame = encodeInner(WordModel.packDict(entries), false)
         def withDict(idsBlock: Array[Byte]): Array[Byte] = {
           val bos = new java.io.ByteArrayOutputStream(
@@ -329,7 +332,14 @@ object Fsst {
     out
   }
 
-  def decode(bytes: Array[Byte]): Array[Byte] = {
+  def decode(bytes: Array[Byte]): Array[Byte] = decodeInner(bytes, true)
+
+  /** The encoder never nests word-model frames (the dict blob is encoded
+    * with allowWordModel=false), so a frame whose DICT is itself mode 7/8
+    * is hostile by construction — rejecting it bounds decode recursion at
+    * depth 1 instead of letting a crafted chain of nested dicts blow the
+    * stack. */
+  private def decodeInner(bytes: Array[Byte], allowWordModel: Boolean): Array[Byte] = {
     if (bytes.length < 7) throw TruncatedException
     if (bytes(0) != MagicG || bytes(1) != MagicS)
       throw CorruptException("fsst bad magic")
@@ -358,10 +368,11 @@ object Fsst {
         if (out.length != rawLen) throw CorruptException("o1w raw length")
         out
       case 7 | 8 =>
+        if (!allowWordModel) throw CorruptException("nested word-model frame")
         val dictLen = r.read().toInt
         if (dictLen < 0 || r.pos + dictLen > end) throw TruncatedException
         val dictFrame = java.util.Arrays.copyOfRange(bytes, r.pos, r.pos + dictLen)
-        val entries = WordModel.unpackDict(decode(dictFrame))
+        val entries = WordModel.unpackDict(decodeInner(dictFrame, false))
         val p = r.pos + dictLen
         val ids: Array[Int] =
           if (mode == 7) TokenCodec.decodeRange(bytes, p, end) match {

@@ -29,6 +29,11 @@ object DrivePlanAudit {
       PackQueries.seqPack(spark, sf))
     show("q12_bucketed_join (no exchange below the sort-merge join)",
       RelationalQueries.q12BucketedJoin(spark, sf))
+    show("ann_ivf (probe equi-join only: NO full-corpus cross join; the " +
+      "exact-recall audit lives in the separate ann_recall query)",
+      AnnQueries.annIvf(spark, sf))
+    show("dedup_embedding (banded guard: aggregate + left-semi, drop-frac " +
+      "broadcast)", AnnQueries.dedupEmbedding(spark, sf))
     spark.stop()
   }
 }
