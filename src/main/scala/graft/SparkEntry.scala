@@ -48,6 +48,7 @@ object SparkEntry {
     "doc_quality" -> (TextQueries.qualityScore _),
     "doc_langid" -> (TextQueries.langId _),
     "doc_fingerprint" -> (TextQueries.fingerprint _),
+    "doc_compress_shared" -> (TextQueries.docCompressShared _),
     // dedup pipeline
     "dedup_exact" -> (DedupQueries.dedupExact _),
     "dedup_minhash" -> (DedupQueries.dedupMinhash _),
@@ -109,6 +110,7 @@ object SparkEntry {
     // fixture twins: independent Python recomputation of the text kernels
     // (tools/gen_doc_fixtures.py -> golden/doc_fixtures_sf0.01.parquet)
     "doc_token_count_bpe" -> TextQueries.tokenCountBpeSql,
+    "doc_compress_shared" -> TextQueries.docCompressSharedSql,
     "doc_fingerprint" -> TextQueries.fingerprintSql,
     "doc_langid" -> TextQueries.langIdSql,
     // whole-operator replicas: tools/gen_ann_fixtures.py reimplements the

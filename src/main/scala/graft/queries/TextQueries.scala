@@ -13,6 +13,54 @@ object TextQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
+  /** Shared-dictionary short-string compression: a per-doc one-shot frame
+    * cannot amortize a symbol table across ~300-byte documents (per-doc
+    * ratio ~0.71 vs 0.14 on the concat), so train ONE FSST table on a
+    * deterministic capped sample, BROADCAST it, and code every document
+    * against it — the train-once/broadcast/map shape a 100 TB corpus wants
+    * (the sample collect is O(1), the table a few KB, the encode
+    * partition-local). This is the engine's recast of the reference's
+    * stateful stream mode — one adaptive model shared across many writes
+    * (`/root/reference/src/ext/_ppmdmodule.c` Ppmd7Encoder) — without the
+    * cross-row coupling that would serialize a cluster.
+    *
+    * Oracled: every output column (doc counts, raw byte totals, roundtrip
+    * mismatches = 0) is DuckDB-recomputable; the engine-specific encoded
+    * size is evidence in bench/BASELINE instead. */
+  def docCompressShared(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ds = docs(s, dir)
+      .select(col("doc_id").cast("long"), col("text"), col("source"))
+      .as[(Long, String, String)]
+    // deterministic O(1) training sample: modulo-thinned, HARD-capped before
+    // the collect, sorted so training is independent of partition layout
+    val sample = ds.filter(_._1 % 97 == 0).limit(512).collect()
+      .sortBy(_._1).map(_._2).mkString("\n").getBytes("UTF-8")
+    val table = graft.codec.Fsst.train(sample)
+    val bcSyms = s.sparkContext.broadcast(table.symbols)
+    ds.mapPartitions { it =>
+      val t = new graft.codec.Fsst.SymbolTable(bcSyms.value) // built once per task
+      it.map { case (_, text, src) =>
+        val raw = text.getBytes("UTF-8")
+        val enc = graft.codec.Fsst.compressWith(t, raw)
+        val back = graft.codec.Fsst.decompressWith(t, enc, 0, enc.length, raw.length)
+        (src, raw.length.toLong, enc.length.toLong,
+          if (java.util.Arrays.equals(back, raw)) 0L else 1L)
+      }
+    }.toDF("source", "raw_bytes", "enc_bytes", "mism")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("raw_bytes").as("raw_bytes"),
+        sum("mism").as("mismatches"))
+      .orderBy(col("source"))
+  }
+
+  val docCompressSharedSql: String =
+    """SELECT source, count(*) AS n_docs,
+      |  CAST(sum(strlen(text)) AS BIGINT) AS raw_bytes,
+      |  CAST(0 AS BIGINT) AS mismatches
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   /** Whitespace token count via pure length arithmetic (dialect-safe). */
   def tokenCount(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(

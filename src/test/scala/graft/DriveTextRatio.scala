@@ -16,6 +16,13 @@ object DriveTextRatio {
     val all = texts.mkString("\n").getBytes("UTF-8")
     val encAll = graft.codec.Fsst.encode(all).length
     println(f"TEXTRATIO concat raw=${all.length} enc=$encAll ratio=${encAll.toDouble / all.length}%.4f")
+    // shared-dictionary per-doc path: one table trained on a sample,
+    // broadcast, each doc coded table-free (doc_compress_shared's ratio)
+    val table = graft.codec.Fsst.train(
+      texts.grouped(10).map(_.head).mkString("\n").getBytes("UTF-8"))
+    val encShared = texts.map(t =>
+      graft.codec.Fsst.compressWith(table, t.getBytes("UTF-8")).length.toLong).sum
+    println(f"TEXTRATIO shared-dict per-doc raw=$raw enc=$encShared ratio=${encShared.toDouble / raw}%.4f")
     spark.stop()
   }
 }
