@@ -133,6 +133,25 @@ object Decoder {
     chunks.flatMap(c => ChunkBuilder.open(c))
   }
 
+  /** Containment-pruned decode over a chunk TABLE — the same two-level
+    * pruning as Lineage.decodeContainingToken but against a persisted
+    * Dataset[EncodedChunk] (e.g. a parquet chunk table, where the min/max
+    * column predicates PUSH into the scan and skip whole row groups before
+    * any payload bytes are read; the TokenSketch then prunes in-range
+    * chunks that don't hold the value). */
+  def decodeContainingToken(chunks: Dataset[EncodedChunk],
+                            tok: Int): Dataset[SeqRow] = {
+    import org.apache.spark.sql.functions.col
+    val spark = chunks.sparkSession
+    import spark.implicits._
+    chunks
+      .filter(col("min_tok") <= tok && col("max_tok") >= tok)
+      .filter((c: EncodedChunk) =>
+        TokenSketch.mightContain(c.tok_set, c.min_tok, tok))
+      .flatMap(c => ChunkBuilder.open(c))
+      .filter(_.tokens.contains(tok))
+  }
+
   /** Decode with verification against the source table; returns mismatched
     * doc_ids (empty = faithful). Each side is reduced map-side to
     * (doc_id, 64-bit content hash over n_tok + tokens + source) BEFORE the

@@ -54,6 +54,19 @@ object DriveBigRun {
       .exists(d => d.tokens.sameElements(e.tokens) && d.source == e.source))
     println(s"BIG3 zonemap-slice rows=${slice.size}/500 bitIdentical=$ok")
 
+    // round-3 index layers at scale: parquet-compact the manifest, then a
+    // rare-token containment probe — manifest pushdown + TokenSketch prune
+    val t2 = System.nanoTime()
+    val compacted = Lineage.compactManifest(spark, dir)
+    val tCmp = (System.nanoTime() - t2) / 1e9
+    val probe = Corpus.V - 1 // boundary-archetype token: present in ~5% of rows
+    val t3 = System.nanoTime()
+    val mTok = Lineage.manifestForToken(spark, dir, probe).count()
+    val tPrune = (System.nanoTime() - t3) / 1e9
+    val oov = Corpus.V + 123
+    val mOov = Lineage.manifestForToken(spark, dir, oov).count()
+    println(f"BIG4 compact=$compacted%d parts in $tCmp%.1fs; sketch probe tok=$probe -> $mTok/$nChunks chunks (manifest-only, $tPrune%.1fs); oov probe -> $mOov chunks")
+
     // cleanup the ~5GB scratch
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     spark.stop()
