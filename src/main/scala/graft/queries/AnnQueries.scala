@@ -79,10 +79,14 @@ object AnnQueries {
 
   /** LSH-bucketed ANN: planesFor(N) deterministic random hyperplanes ->
     * 2^planes buckets sized so the expected bucket holds ~TargetBucket
-    * vectors at ANY corpus size; neighbors searched only within the query's
-    * bucket. Reports per-query bucket size and found top-1. Oracled against
-    * an independent Python replica of the whole operator
-    * (tools/gen_ann_fixtures.py, same planesFor formula). */
+    * vectors at ANY corpus size; candidates = the UNION of the query's
+    * buckets across the NBands independent bucketings (the same band
+    * redundancy as dedup_embedding — adaptive planes shrink each bucket as
+    * N grows, so single-bucket recall would decay with scale while the
+    * multi-band union holds it up: miss probability is the product across
+    * bands). Reports per-query candidate-union size and found top-1.
+    * Oracled against an independent Python replica of the whole operator
+    * (tools/gen_ann_fixtures.py, same planesFor/band formulas). */
   def annLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val raw = embRaw(s, dir)
@@ -90,24 +94,37 @@ object AnnQueries {
     val e = raw.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("vec"))
       .as[(Long, Array[Double])]
-      .map { case (id, v) => (id, v, Hyperplanes.bucket(v, planes)) }
-      .toDF("vec_id", "vec", "bucket")
+      .map { case (id, v) =>
+        (id, v, Array.tabulate(Hyperplanes.NBands)(b =>
+          Hyperplanes.bandKey(b, Hyperplanes.bandBucket(v, planes, b)))) }
+      .toDF("vec_id", "vec", "band_keys")
       .cache()
-    val q = e.filter(col("vec_id") < lit(5))
-      .select(col("vec_id").as("q_id"), col("vec").as("q_vec"),
-        col("bucket").as("q_bucket"))
-    val inBucket = e.join(broadcast(q), col("bucket") === col("q_bucket") &&
-        col("vec_id") =!= col("q_id"))
+    val banded = e.select(col("vec_id"),
+      explode(col("band_keys")).as("band_key"))
+    val qKeys = banded.filter(col("vec_id") < lit(5))
+      .select(col("vec_id").as("q_id"), col("band_key").as("q_band_key"))
+    // candidate ids first (a vector sharing BOTH bands must score once),
+    // then join the vectors back for the exact cosine
+    val candIds = banded.join(broadcast(qKeys),
+        col("band_key") === col("q_band_key") &&
+          col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"))
+      .distinct()
+    val qVecs = e.filter(col("vec_id") < lit(5))
+      .select(col("vec_id").as("q_id"), col("vec").as("q_vec"))
+    val scored = candIds
+      .join(e.select(col("vec_id"), col("vec")), "vec_id")
+      .join(broadcast(qVecs), "q_id")
       .withColumn("cos", cosineExpr("q_vec", "vec"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-    val top = inBucket.withColumn("rank", row_number().over(w))
+    val top = scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") === lit(1))
       .select(col("q_id"), col("vec_id").as("lsh_top1"),
         round(col("cos"), 4).as("lsh_cos"))
-    val bucketSizes = inBucket.groupBy(col("q_id"))
+    val bucketSizes = scored.groupBy(col("q_id"))
       .agg(count(lit(1)).as("bucket_candidates"))
-    q.select(col("q_id"))
+    qVecs.select(col("q_id"))
       .join(bucketSizes, Seq("q_id"), "left")
       .join(top, Seq("q_id"), "left")
       .na.fill(Map("bucket_candidates" -> 0L, "lsh_top1" -> -1L,
@@ -162,10 +179,11 @@ object AnnQueries {
       (id, v, Ivf.nearestCentroid(bcCentroids.value, v)) }
       .toDF("vec_id", "vec", "cluster")
       .cache()
+    val nProbe = s.conf.get("graft.ivf.nProbe", "4").toInt
     val queries = assigned.as[(Long, Array[Double], Int)]
       .filter(_._1 < 5)
       .map { case (id, v, _) =>
-        (id, v, Ivf.nearestClusters(bcCentroids.value, v, nProbe = 4)) }
+        (id, v, Ivf.nearestClusters(bcCentroids.value, v, nProbe)) }
       .toDF("q_id", "q_vec", "probe")
       .select(col("q_id"), col("q_vec"), explode(col("probe")).as("cluster"))
     val probed = assigned.join(broadcast(queries), Seq("cluster"))

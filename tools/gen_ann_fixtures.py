@@ -80,11 +80,15 @@ def main(emb_path, lsh_out, dedup_out):
     nplanes = planes_for(len(vecs))
     buckets = {i: bucket(v, nplanes) for i, v in vecs.items()}
 
-    # ---- ann_lsh: per query (vec_id < 5) search within its bucket --------
+    # ---- ann_lsh: per query (vec_id < 5), candidates = UNION of the
+    # query's buckets across the N_BANDS independent bucketings ----------
+    band_buckets = {i: [bucket(v, nplanes, b) for b in range(N_BANDS)]
+                    for i, v in vecs.items()}
     q_ids, cands, top1s, coss = [], [], [], []
     for q in sorted(i for i in vecs if i < 5):
         members = [i for i in vecs
-                   if i != q and buckets[i] == buckets[q]]
+                   if i != q and any(band_buckets[i][b] == band_buckets[q][b]
+                                     for b in range(N_BANDS))]
         q_ids.append(q)
         cands.append(len(members))
         if members:
