@@ -214,8 +214,9 @@ object AnnQueries {
     * no full-corpus pass beyond the one list-assignment map. */
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     val (qIds, ivfTop, probeSizes) = ivfTopAndSizes(s, dir)
-    qIds.join(ivfTop, Seq("q_id"), "left")
-      .join(probeSizes, Seq("q_id"), "left")
+    // <=5-row stitches: broadcast so the static plan never shuffles them
+    qIds.join(broadcast(ivfTop), Seq("q_id"), "left")
+      .join(broadcast(probeSizes), Seq("q_id"), "left")
       .na.fill(Map("ivf_top1" -> -1L, "ivf_cos" -> 0.0,
         "probed_candidates" -> 0L))
       .orderBy(col("q_id"))
@@ -229,8 +230,9 @@ object AnnQueries {
     val (qIds, ivfTop, _) = ivfTopAndSizes(s, dir)
     val bruteTop = annBruteForce(s, dir).filter(col("rank") === lit(1))
       .select(col("q_id"), col("neighbor_id").as("brute_top1"))
-    qIds.join(ivfTop.select(col("q_id"), col("ivf_top1")), Seq("q_id"), "left")
-      .join(bruteTop, Seq("q_id"), "left")
+    qIds.join(broadcast(ivfTop.select(col("q_id"), col("ivf_top1"))),
+        Seq("q_id"), "left")
+      .join(broadcast(bruteTop), Seq("q_id"), "left")
       .na.fill(Map("ivf_top1" -> -1L))
       .withColumn("top1_agrees", col("ivf_top1") === col("brute_top1"))
       .orderBy(col("q_id"))

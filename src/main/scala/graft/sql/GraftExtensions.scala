@@ -37,5 +37,9 @@ object GraftExtensions {
     ("decode_tokens", "decode_tokens(binary) -> array<int>",
       (es: Seq[Expression]) => DecodeTokens(es.head)),
     ("cosine_sim", "cosine_sim(array<double>, array<double>) -> double",
-      (es: Seq[Expression]) => CosineSim(es(0), es(1))))
+      (es: Seq[Expression]) => CosineSim(es(0), es(1))),
+    ("compress_text", "compress_text(string) -> binary framed text frame",
+      (es: Seq[Expression]) => CompressText(es.head)),
+    ("decompress_text", "decompress_text(binary) -> string",
+      (es: Seq[Expression]) => DecompressText(es.head)))
 }

@@ -35,6 +35,10 @@ object GraftFunctions {
       "encode_tokens", exprs => EncodeTokens(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "decode_tokens", exprs => DecodeTokens(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "compress_text", exprs => CompressText(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "decompress_text", exprs => DecompressText(exprs.head), "scala_udf")
     if (!spark.sessionState.experimentalMethods.extraOptimizations
         .contains(FoldDecodeEncode))
       spark.sessionState.experimentalMethods.extraOptimizations ++=
@@ -58,6 +62,13 @@ object GraftFunctions {
   def decompressText(bytes: Array[Byte], encoding: String = "UTF-8"): String =
     new String(graft.codec.Fsst.decode(bytes), encoding)
 
+  /** Column forms of the text one-shot (UTF-8, Spark's native string
+    * encoding — the reference's default `encoding=` too). */
+  def compress_text(c: Column): Column =
+    ColumnBridge.column(CompressText(ColumnBridge.expression(c)))
+  def decompress_text(c: Column): Column =
+    ColumnBridge.column(DecompressText(ColumnBridge.expression(c)))
+
   /** Codegen'd cosine similarity over two array<double> columns — replaces
     * the zip_with/aggregate higher-order-function tree, whose lambdas are
     * interpreted per element; this stays a tight primitive loop inside
@@ -69,6 +80,10 @@ object GraftFunctions {
       ColumnBridge.expression(b)))
 
   // codegen-callable kernels (static-shaped entry points)
+  def compressTextKernel(s: org.apache.spark.unsafe.types.UTF8String): Array[Byte] =
+    graft.codec.Fsst.encode(s.getBytes)
+  def decompressTextKernel(b: Array[Byte]): org.apache.spark.unsafe.types.UTF8String =
+    org.apache.spark.unsafe.types.UTF8String.fromBytes(graft.codec.Fsst.decode(b))
   def encodeKernel(arr: ArrayData): Array[Byte] =
     graft.codec.TokenCodec.encodeAuto(arr.toIntArray())
   def decodeKernel(bytes: Array[Byte]): ArrayData =
@@ -158,6 +173,47 @@ case class CosineSim(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): CosineSim =
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "cosine_sim"
+}
+
+/** string -> binary: text one-shot compress (FSST stack incl. the word
+  * model) as a native expression — the `pyppmd.compress(str)` analog at
+  * column level. */
+case class CompressText(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"compress_text needs string, got ${other.sql}")
+    }
+  override def nullSafeEval(v: Any): Any =
+    GraftFunctions.compressTextKernel(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.sql.GraftFunctions.compressTextKernel($c)")
+  override protected def withNewChildInternal(c: Expression): CompressText =
+    copy(child = c)
+  override def prettyName: String = "compress_text"
+}
+
+/** binary -> string: text one-shot decompress (decompress_str analog). */
+case class DecompressText(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case BinaryType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"decompress_text needs binary, got ${other.sql}")
+    }
+  override def nullSafeEval(v: Any): Any =
+    GraftFunctions.decompressTextKernel(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.sql.GraftFunctions.decompressTextKernel($c)")
+  override protected def withNewChildInternal(c: Expression): DecompressText =
+    copy(child = c)
+  override def prettyName: String = "decompress_text"
 }
 
 /** decode_tokens(encode_tokens(x)) == x by the roundtrip identity the test

@@ -18,7 +18,8 @@ class ExtensionsSpec extends AnyFunSuite {
       .optimizerRules(ext, SparkTestSession.spark)
     assert(rules.contains(FoldDecodeEncode))
     assert(GraftExtensions.functions.map(_._1).toSet ==
-      Set("encode_tokens", "decode_tokens", "cosine_sim"))
+      Set("encode_tokens", "decode_tokens", "cosine_sim",
+        "compress_text", "decompress_text"))
     // builders produce the right expression nodes
     import org.apache.spark.sql.catalyst.expressions.Literal
     val enc = GraftExtensions.functions.find(_._1 == "encode_tokens").get

@@ -31,6 +31,22 @@ class SqlSpec extends AnyFunSuite {
     assert(row.getLong(0) < row.getLong(1), "no compression")
   }
 
+  test("compress_text/decompress_text column roundtrip incl. unicode") {
+    val docs = Seq("short", "", "日本語 ∞ 😀 text",
+      ("the quick brown fox jumps over the lazy dog " * 60).trim)
+      .toDF("text")
+    val out = docs.select(col("text"),
+        GraftFunctions.decompress_text(
+          GraftFunctions.compress_text(col("text"))).as("back"))
+      .collect()
+    out.foreach(r => assert(r.getString(0) == r.getString(1)))
+    // repetitive text must compress through the column form
+    val enc = docs.select(
+      org.apache.spark.sql.functions.length(
+        GraftFunctions.compress_text(col("text"))).as("n")).collect()
+    assert(enc.last.getInt(0) < 2640 / 3, s"no compression: ${enc.last}")
+  }
+
   test("fold rule removes decode(encode(x)) from the optimized plan") {
     GraftFunctions.register(spark)
     val ds = Corpus.table(spark, 50, partitions = 1)
