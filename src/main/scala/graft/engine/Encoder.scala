@@ -133,6 +133,21 @@ object Decoder {
     chunks.flatMap(c => ChunkBuilder.open(c))
   }
 
+  /** Zone-map pruned decode over a chunk TABLE by doc_id range — the
+    * chunk-table twin of Lineage.decodeDocIdRange: the min/max_doc_id
+    * predicates push into a parquet chunk-table scan, so a point/range
+    * lookup reads the row groups of overlapping chunks only. */
+  def decodeDocIdRange(chunks: Dataset[EncodedChunk], lo: String,
+                       hi: String): Dataset[SeqRow] = {
+    import org.apache.spark.sql.functions.col
+    val spark = chunks.sparkSession
+    import spark.implicits._
+    chunks
+      .filter(col("max_doc_id") >= lo && col("min_doc_id") <= hi)
+      .flatMap(c => ChunkBuilder.open(c))
+      .filter(r => r.doc_id >= lo && r.doc_id <= hi)
+  }
+
   /** Containment-pruned decode over a chunk TABLE — the same two-level
     * pruning as Lineage.decodeContainingToken but against a persisted
     * Dataset[EncodedChunk] (e.g. a parquet chunk table, where the min/max

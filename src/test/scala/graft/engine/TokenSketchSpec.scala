@@ -82,6 +82,11 @@ class TokenSketchSpec extends AnyFunSuite with GenChecks {
     val got = Decoder.decodeContainingToken(table, probe).collect()
     val expect = rows.filter(_.tokens.contains(probe)).map(_.doc_id).toSet
     assert(got.map(_.doc_id).toSet == expect && expect.nonEmpty)
+    // doc_id-range twin over the same chunk table
+    val ranged = Decoder.decodeDocIdRange(table,
+      "doc-000000000050", "doc-000000000059").collect()
+    assert(ranged.map(_.doc_id).toSet ==
+      (50 until 60).map(i => f"doc-$i%012d").toSet)
     // zone-map predicates reach the parquet scan
     val plan = table.filter(col("min_tok") <= probe && col("max_tok") >= probe)
       .queryExecution.executedPlan.toString
