@@ -87,9 +87,11 @@ object AnnQueries {
     * bands). Reports per-query candidate-union size and found top-1.
     * Oracled against an independent Python replica of the whole operator
     * (tools/gen_ann_fixtures.py, same planesFor/band formulas). */
-  def annLsh(s: SparkSession, dir: String): DataFrame = {
+  def annLsh(s: SparkSession, dir: String): DataFrame =
+    annLshOver(s, embRaw(s, dir))
+
+  private[queries] def annLshOver(s: SparkSession, raw: DataFrame): DataFrame = {
     import s.implicits._
-    val raw = embRaw(s, dir)
     val planes = Hyperplanes.planesFor(raw.count(), Hyperplanes.targetBucket(s))
     val e = raw.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("vec"))
@@ -155,9 +157,12 @@ object AnnQueries {
   /** IVF top-1 per query plus probe-size evidence; shared by annIvf (the
     * operator) and annRecall (the audit). */
   private def ivfTopAndSizes(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) =
+    ivfTopAndSizesOver(s, embRaw(s, dir))
+
+  private[queries] def ivfTopAndSizesOver(s: SparkSession, raw: DataFrame)
       : (DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
-    val raw = embRaw(s, dir)
     val n = raw.count()
     val k = Ivf.kFor(n, Ivf.maxK(s))
     val e = raw.select(col("vec_id"),

@@ -38,20 +38,28 @@ class AnnScaleSpec extends AnyFunSuite {
     assert(Ivf.kFor(1L << 50) == 4096) // clamped
   }
 
+  private val dim = 16
+  private val nBase = 50000
+  private val nPlanted = 200
+
+  /** 50k distinct pseudo-random vectors + 200 planted exact copies of the
+    * first 200 (ids 100000+i): 200 guaranteed cos=1.0 near-dup pairs, and
+    * every query id (vec_id < 5) has a known exact twin. */
+  private lazy val raw50k = {
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    val rows = (0 until nBase).map(i => (i.toLong, vec(i, dim))) ++
+      (0 until nPlanted).map(i => (100000L + i, vec(i, dim)))
+    rows.toDF("vec_id", "embedding")
+      .repartition(8, col("vec_id"))
+      .cache()
+  }
+
   test("adaptive planes keep near-dup recall alive at 50k vectors " +
       "(constant 8 planes would guard-drop every bucket)") {
     val spark = graft.SparkTestSession.spark
     import spark.implicits._
-    val dim = 16
-    val nBase = 50000
-    val nPlanted = 200
-    // 50k distinct pseudo-random vectors + 200 planted exact copies of the
-    // first 200 (ids 100000+i), i.e. 200 guaranteed cos=1.0 near-dup pairs
-    val rows = (0 until nBase).map(i => (i.toLong, vec(i, dim))) ++
-      (0 until nPlanted).map(i => (100000L + i, vec(i, dim)))
-    val raw = rows.toDF("vec_id", "embedding")
-      .repartition(8, col("vec_id"))
-      .cache()
+    val raw = raw50k
 
     val out = AnnQueries.dedupEmbeddingOver(spark, raw).cache()
     assert(out.count() == (nBase + nPlanted).toLong)
@@ -87,6 +95,32 @@ class AnnScaleSpec extends AnyFunSuite {
       s"expected constant-8-plane guard to drop most rows, kept $keptN")
     val frac8 = stats8.as[Double].first()
     assert(frac8 > 0.8, s"dropped_bucket_frac at 8 planes: $frac8")
-    raw.unpersist(); out.unpersist()
+    out.unpersist()
+  }
+
+  test("banded ann_lsh and adaptive-k ann_ivf find each query's planted " +
+      "exact twin at 50k vectors") {
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    // every query (vec_id < 5) has an exact copy at 100000+q: the copy
+    // shares EVERY band bucket and the query's own IVF cluster, so both
+    // sketches must return it as top-1 (cos = 1.0) — end-to-end recall
+    // evidence at a scale where the round-2 constants returned nothing
+    val lsh = AnnQueries.annLshOver(spark, raw50k).collect()
+    assert(lsh.length == 5)
+    lsh.foreach { r =>
+      val q = r.getLong(0)
+      assert(r.getLong(2) == 100000L + q, // lsh_top1
+        s"q=$q lsh_top1=${r.getLong(2)} (candidates=${r.getLong(1)})")
+      assert(r.getLong(1) > 0L)
+    }
+    val (qIds, ivfTop, _) = AnnQueries.ivfTopAndSizesOver(spark, raw50k)
+    val ivf = qIds.join(ivfTop, Seq("q_id")).orderBy(col("q_id")).collect()
+    assert(ivf.length == 5)
+    ivf.foreach { r =>
+      val q = r.getLong(0)
+      assert(r.getLong(1) == 100000L + q, // ivf_top1
+        s"q=$q ivf_top1=${r.getLong(1)}")
+    }
   }
 }
