@@ -76,6 +76,61 @@ object OrcTableIO extends TableIO {
   }
 }
 
+/** CSV tables — the reference's own test-corpus format (its 1.2 MB fixture
+  * corpus is CSV; `/root/reference/tests` ships it alongside the golden
+  * strings). CSV has neither array nor binary types: the tokens column
+  * rides as a space-delimited int string, chunk payload/meta/tok_set as
+  * HEX (Spark's base64() emits MIME-chunked output with embedded newlines,
+  * which shreds CSV records; hex is newline-free). Ingest/interchange only
+  * — at scale this is the format you read ONCE and convert to parquet. */
+object CsvTableIO extends TableIO {
+  import org.apache.spark.sql.functions.{col, concat_ws, expr, hex, length, unhex, when}
+
+  /** Write helper for sequences (the trait is read-oriented; tests and
+    * ingest converters use this to produce the CSV shape). */
+  def writeSequences(ds: Dataset[SeqRow], path: String): Unit =
+    ds.toDF()
+      .withColumn("tokens", concat_ws(" ", col("tokens")))
+      .write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  override def readSequences(spark: SparkSession, path: String): Dataset[SeqRow] = {
+    import spark.implicits._
+    spark.read.option("header", "true")
+      .schema("doc_id STRING, tokens STRING, n_tok INT, source STRING")
+      .csv(path)
+      // empty string must become an EMPTY array, not array(null)
+      .withColumn("tokens",
+        when(length(col("tokens")) === 0, expr("array()").cast("array<int>"))
+          .otherwise(expr("transform(split(tokens, ' '), x -> CAST(x AS INT))")))
+      .select("doc_id", "tokens", "n_tok", "source")
+      .as[SeqRow]
+  }
+
+  override def writeChunks(chunks: Dataset[EncodedChunk], path: String): Unit =
+    chunks.toDF()
+      .withColumn("tok_set", hex(col("tok_set")))
+      .withColumn("payload", hex(col("payload")))
+      .withColumn("meta", hex(col("meta")))
+      .write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  override def readChunks(spark: SparkSession, path: String): Dataset[EncodedChunk] = {
+    import spark.implicits._
+    ZoneDefaults(spark.read.option("header", "true")
+        .schema("chunk_id LONG, part_id INT, seq INT, codec INT, n_rows INT, " +
+          "n_tokens LONG, raw_bytes LONG, enc_bytes LONG, crc32 LONG, " +
+          "min_doc_id STRING, max_doc_id STRING, min_tok INT, max_tok INT, " +
+          "tok_set STRING, payload STRING, meta STRING")
+        .csv(path))
+      .withColumn("tok_set", unhex(col("tok_set")))
+      .withColumn("payload", unhex(col("payload")))
+      .withColumn("meta", unhex(col("meta")))
+      .select("chunk_id", "part_id", "seq", "codec", "n_rows", "n_tokens",
+        "raw_bytes", "enc_bytes", "crc32", "min_doc_id", "max_doc_id",
+        "min_tok", "max_tok", "tok_set", "payload", "meta")
+      .as[EncodedChunk]
+  }
+}
+
 /** JSON-lines tables — the interchange format. JSON has no binary type, so
   * chunk payload/meta ride as base64 strings (encoded on write, decoded on
   * read); token arrays are native JSON arrays. Row-oriented text: use for

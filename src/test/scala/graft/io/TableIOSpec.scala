@@ -29,12 +29,13 @@ class TableIOSpec extends AnyFunSuite {
     }
   }
 
-  test("orc and json TableIO implementations roundtrip identically") {
+  test("orc, json and csv TableIO implementations roundtrip identically") {
     val ds = Corpus.table(spark, 200, partitions = 2)
     val original = ds.collect().map(r => r.doc_id -> r).toMap
     for ((io, write) <- Seq[(TableIO, (org.apache.spark.sql.Dataset[graft.engine.SeqRow], String) => Unit)](
         (OrcTableIO, (d, p) => d.write.orc(p)),
-        (JsonTableIO, (d, p) => d.write.json(p)))) {
+        (JsonTableIO, (d, p) => d.write.json(p)),
+        (CsvTableIO, (d, p) => CsvTableIO.writeSequences(d, p)))) {
       val seqPath = Files.createTempDirectory("graft-seq2").toString + "/t"
       val chunkPath = Files.createTempDirectory("graft-chunks2").toString + "/t"
       write(ds, seqPath)
