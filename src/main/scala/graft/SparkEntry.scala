@@ -42,6 +42,7 @@ object SparkEntry {
     "q10_rollup" -> (RelationalQueries.q10Rollup _),
     "q11_time_window" -> (RelationalQueries.q11TimeWindow _),
     "q12_bucketed_join" -> (RelationalQueries.q12BucketedJoin _),
+    "q13_pivot" -> (RelationalQueries.q13Pivot _),
     // text pipeline
     "doc_token_count" -> (TextQueries.tokenCount _),
     "doc_token_count_bpe" -> (TextQueries.tokenCountBpe _),
@@ -85,6 +86,7 @@ object SparkEntry {
     "q10_rollup" -> RelationalQueries.q10Sql,
     "q11_time_window" -> RelationalQueries.q11Sql,
     "q12_bucketed_join" -> RelationalQueries.q12Sql,
+    "q13_pivot" -> RelationalQueries.q13Sql,
     "doc_token_count" -> TextQueries.tokenCountSql,
     "doc_quality" -> TextQueries.qualityScoreSql,
     "dedup_exact" -> DedupQueries.dedupExactSql,

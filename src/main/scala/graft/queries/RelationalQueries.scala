@@ -276,4 +276,27 @@ object RelationalQueries {
       |  round(sum(l_extendedprice), 2) AS revenue
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** q13: PIVOT — wide conditional aggregation (one row per
+    * o_orderpriority, one revenue column per o_orderstatus). Expressed as
+    * CASE aggregations (identical in both dialects), which is also the plan
+    * shape Catalyst lowers a PIVOT to: single scan, partial+final
+    * aggregation, no shuffle beyond the groupBy. */
+  def q13Pivot(s: SparkSession, dir: String): DataFrame = {
+    def rev(status: String) = round(sum(
+      when(col("o_orderstatus") === status, col("o_totalprice"))
+        .otherwise(lit(0.0))), 2)
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        rev("F").as("rev_f"), rev("O").as("rev_o"), rev("P").as("rev_p"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q13Sql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2) AS rev_f,
+      |  round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END), 2) AS rev_o,
+      |  round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END), 2) AS rev_p
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 }

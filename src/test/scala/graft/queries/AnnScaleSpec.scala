@@ -98,6 +98,25 @@ class AnnScaleSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("session knobs retune sketch parameters without a rebuild") {
+    val spark = graft.SparkTestSession.spark
+    assert(Hyperplanes.targetBucket(spark) == 16L)
+    assert(Ivf.maxK(spark) == 4096)
+    assert(DedupQueries.maxBucket(spark) == 128)
+    spark.conf.set("graft.lsh.targetBucket", "4")
+    spark.conf.set("graft.ivf.maxK", "64")
+    spark.conf.set("graft.dedup.maxBucket", "32")
+    try {
+      assert(Hyperplanes.planesFor(16384, Hyperplanes.targetBucket(spark)) == 12)
+      assert(Ivf.kFor(1000000, Ivf.maxK(spark)) == 64)
+      assert(DedupQueries.maxBucket(spark) == 32)
+    } finally {
+      spark.conf.unset("graft.lsh.targetBucket")
+      spark.conf.unset("graft.ivf.maxK")
+      spark.conf.unset("graft.dedup.maxBucket")
+    }
+  }
+
   test("banded ann_lsh and adaptive-k ann_ivf find each query's planted " +
       "exact twin at 50k vectors") {
     val spark = graft.SparkTestSession.spark
