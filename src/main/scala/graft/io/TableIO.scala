@@ -98,9 +98,12 @@ object CsvTableIO extends TableIO {
     spark.read.option("header", "true")
       .schema("doc_id STRING, tokens STRING, n_tok INT, source STRING")
       .csv(path)
-      // empty string must become an EMPTY array, not array(null)
+      // a zero-token row must come back as an EMPTY array: the CSV reader
+      // surfaces the empty field as NULL (its default emptyValue handling),
+      // and a bare split("") would yield array(null)
       .withColumn("tokens",
-        when(length(col("tokens")) === 0, expr("array()").cast("array<int>"))
+        when(col("tokens").isNull || length(col("tokens")) === 0,
+            expr("array()").cast("array<int>"))
           .otherwise(expr("transform(split(tokens, ' '), x -> CAST(x AS INT))")))
       .select("doc_id", "tokens", "n_tok", "source")
       .as[SeqRow]

@@ -29,6 +29,19 @@ class TableIOSpec extends AnyFunSuite {
     }
   }
 
+  test("csv sequences survive zero-token rows (empty field reads as NULL)") {
+    import spark.implicits._
+    val rows = Seq(
+      graft.engine.SeqRow("doc-a", Array(1, 2, 3), 3, "s"),
+      graft.engine.SeqRow("doc-b", Array.emptyIntArray, 0, "s"))
+    val path = Files.createTempDirectory("graft-csv0").toString + "/t"
+    CsvTableIO.writeSequences(spark.createDataset(rows), path)
+    val back = CsvTableIO.readSequences(spark, path).collect()
+      .map(r => r.doc_id -> r).toMap
+    assert(back("doc-a").tokens.toSeq == Seq(1, 2, 3))
+    assert(back("doc-b").tokens.isEmpty && back("doc-b").n_tok == 0)
+  }
+
   test("orc, json and csv TableIO implementations roundtrip identically") {
     val ds = Corpus.table(spark, 200, partitions = 2)
     val original = ds.collect().map(r => r.doc_id -> r).toMap
