@@ -84,7 +84,7 @@ object OrcTableIO extends TableIO {
   * which shreds CSV records; hex is newline-free). Ingest/interchange only
   * — at scale this is the format you read ONCE and convert to parquet. */
 object CsvTableIO extends TableIO {
-  import org.apache.spark.sql.functions.{col, concat_ws, expr, hex, length, unhex, when}
+  import org.apache.spark.sql.functions.{coalesce, col, concat_ws, expr, hex, length, typedLit, unhex, when}
 
   /** Write helper for sequences (the trait is read-oriented; tests and
     * ingest converters use this to produce the CSV shape). */
@@ -124,7 +124,10 @@ object CsvTableIO extends TableIO {
           "min_doc_id STRING, max_doc_id STRING, min_tok INT, max_tok INT, " +
           "tok_set STRING, payload STRING, meta STRING")
         .csv(path))
-      .withColumn("tok_set", unhex(col("tok_set")))
+      // an EMPTY binary (zero-token chunk's tok_set) rides as an empty CSV
+      // field, which the reader surfaces as NULL — restore the empty array
+      .withColumn("tok_set", coalesce(unhex(col("tok_set")),
+        typedLit(Array.emptyByteArray)))
       .withColumn("payload", unhex(col("payload")))
       .withColumn("meta", unhex(col("meta")))
       .select("chunk_id", "part_id", "seq", "codec", "n_rows", "n_tokens",

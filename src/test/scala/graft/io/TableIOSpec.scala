@@ -40,6 +40,17 @@ class TableIOSpec extends AnyFunSuite {
       .map(r => r.doc_id -> r).toMap
     assert(back("doc-a").tokens.toSeq == Seq(1, 2, 3))
     assert(back("doc-b").tokens.isEmpty && back("doc-b").n_tok == 0)
+    // the zero-token row's chunk has an EMPTY tok_set (also a NULL-via-CSV
+    // field): the chunk table must roundtrip it too
+    val chunks = Encoder.encodeTable(CsvTableIO.readSequences(spark, path),
+      EncoderConfig(chunkTokens = 64, maxRowsPerChunk = 1, numPartitions = 1))
+    assert(chunks.collect().exists(_.tok_set.isEmpty),
+      "expected a zero-token chunk with an empty sketch")
+    val cpath = Files.createTempDirectory("graft-csv0c").toString + "/t"
+    CsvTableIO.writeChunks(chunks, cpath)
+    val dec = Decoder.decodeTable(CsvTableIO.readChunks(spark, cpath))
+      .collect().map(r => r.doc_id -> r.tokens.toSeq).toMap
+    assert(dec == Map("doc-a" -> Seq(1, 2, 3), "doc-b" -> Seq()))
   }
 
   test("orc, json and csv TableIO implementations roundtrip identically") {
