@@ -244,7 +244,11 @@ object Fsst {
     // approximation of the reference's adaptive contexts for text payloads
     val packed5 = if (packed == null) null else HuffmanO1.encode(packed)
     val packed6 = if (data.length >= 64) HuffmanO1.encode(data) else null
-    val packed9 = if (data.length >= 64) HuffmanO1Wide.encode(data) else null
+    // full-context order-1 over raw bytes: a 512 KB freq matrix + 65k-cell
+    // presence scan per attempt, and per-context table headers that short
+    // inputs can never amortize — only worth trying at >= 1 KB (per-row
+    // compress_text on ~300 B docs would otherwise pay it for nothing)
+    val packed9 = if (data.length >= 1024) HuffmanO1Wide.encode(data) else null
     // word-level model (modes 7/8): dictionary the word/separator runs and
     // entropy-code the id stream — the winning shape for natural-language
     // text, where the vocabulary is tiny relative to the byte stream

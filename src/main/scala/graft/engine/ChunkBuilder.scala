@@ -47,11 +47,13 @@ object ChunkBuilder {
     val crc = new CRC32
     crc.update(payload)
 
+    // bounds in UTF-8 binary order (Utf8Order doc): these are compared by
+    // Spark column predicates at prune time, which use UTF8String order
     var minDoc = docIds(0); var maxDoc = docIds(0)
     i = 1
     while (i < nRows) {
-      if (docIds(i) < minDoc) minDoc = docIds(i)
-      if (docIds(i) > maxDoc) maxDoc = docIds(i)
+      if (Utf8Order.lt(docIds(i), minDoc)) minDoc = docIds(i)
+      if (Utf8Order.gt(docIds(i), maxDoc)) maxDoc = docIds(i)
       i += 1
     }
     // Inverted sentinels for a zero-token chunk: (MaxValue, MinValue) can

@@ -145,7 +145,8 @@ object Decoder {
     chunks
       .filter(col("max_doc_id") >= lo && col("min_doc_id") <= hi)
       .flatMap(c => ChunkBuilder.open(c))
-      .filter(r => r.doc_id >= lo && r.doc_id <= hi)
+      // same UTF-8 binary order as the pruning predicates (Utf8Order doc)
+      .filter(r => Utf8Order.gte(r.doc_id, lo) && Utf8Order.lte(r.doc_id, hi))
   }
 
   /** Containment-pruned decode over a chunk TABLE — the same two-level

@@ -124,22 +124,43 @@ object Lineage {
     import spark.implicits._
     val fs = FileSystem.get(new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
     val files = manifestFiles(fs, dir)
-    val countFile = new Path(s"$dir/_manifest_parquet.count")
+    val markerFile = new Path(s"$dir/_manifest_parquet.count")
     val pq = s"$dir/_manifest_parquet"
-    val current = fs.exists(countFile) &&
-      fs.exists(new Path(s"$pq/_SUCCESS")) && {
-        val in = fs.open(countFile)
-        val n = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+    // ANY problem with the marker (absent, mid-write, garbled, count or
+    // listing-fingerprint mismatch) falls back to the live JSON commit log
+    val current = try {
+      fs.exists(markerFile) && fs.exists(new Path(s"$pq/_SUCCESS")) && {
+        val in = fs.open(markerFile)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
         finally in.close()
-        n == files.length.toLong
+        txt == listingMarker(files)
       }
+    } catch { case _: Exception => false }
     if (current) spark.read.parquet(pq).as[ManifestRow]
-    else spark.read.textFile(files.toIndexedSeq: _*).map(parseManifestLine _)
+    else spark.read.textFile(files.map(_.getPath.toString).toIndexedSeq: _*)
+      .map(parseManifestLine _)
   }
 
-  private def manifestFiles(fs: FileSystem, dir: String): Array[String] =
+  private def manifestFiles(fs: FileSystem, dir: String)
+      : Array[org.apache.hadoop.fs.FileStatus] =
     fs.listStatus(new Path(s"$dir/_lineage"))
-      .filter(_.getPath.getName.endsWith(".json")).map(_.getPath.toString)
+      .filter(_.getPath.getName.endsWith(".json"))
+
+  /** Currency token for the parquet manifest: partition count plus an FNV
+    * fingerprint of the sorted (name, byteLen) listing — a same-count
+    * re-encode (delete + re-run with another chunking) changes file sizes
+    * and is detected, not silently served stale. */
+  private def listingMarker(
+      files: Array[org.apache.hadoop.fs.FileStatus]): String = {
+    var h = 0xcbf29ce484222325L
+    files.map(f => (f.getPath.getName, f.getLen)).sortBy(_._1).foreach {
+      case (name, len) =>
+        var i = 0
+        while (i < name.length) { h = (h ^ name.charAt(i)) * 1099511628211L; i += 1 }
+        h = (h ^ len) * 1099511628211L
+    }
+    s"${files.length} ${java.lang.Long.toHexString(h)}"
+  }
 
   /** Rewrite the committed manifest as parquet (plus a currency marker).
     * Run after a (batch of) encodeToDir calls; idempotent. Returns the
@@ -148,13 +169,20 @@ object Lineage {
     import spark.implicits._
     val fs = FileSystem.get(new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
     val files = manifestFiles(fs, dir)
-    spark.read.textFile(files.toIndexedSeq: _*).map(parseManifestLine _)
+    spark.read.textFile(files.map(_.getPath.toString).toIndexedSeq: _*)
+      .map(parseManifestLine _)
       .write.mode("overwrite").parquet(s"$dir/_manifest_parquet")
-    // marker written AFTER the parquet commit: readers only trust the
-    // parquet copy when this count matches the live _lineage listing
-    val out = fs.create(new Path(s"$dir/_manifest_parquet.count"), true)
-    out.write(files.length.toString.getBytes("UTF-8"))
+    // marker committed AFTER the parquet, via tmp+rename: an in-place
+    // truncate-then-write would flash a 0-byte marker at concurrent
+    // readers, and a crash mid-write would leave it empty forever
+    val marker = new Path(s"$dir/_manifest_parquet.count")
+    val tmp = new Path(s"$dir/_manifest_parquet.count.inprogress")
+    val out = fs.create(tmp, true)
+    out.write(listingMarker(files).getBytes("UTF-8"))
     out.close()
+    if (fs.exists(marker)) fs.delete(marker, false) // rename won't overwrite
+    if (!fs.rename(tmp, marker))
+      throw new java.io.IOException(s"rename failed: $tmp -> $marker")
     files.length.toLong
   }
 
@@ -174,8 +202,10 @@ object Lineage {
     import org.apache.spark.sql.functions.col
     val pruned = readManifest(spark, dir)
       .filter(col("max_doc_id") >= lo && col("min_doc_id") <= hi)
+    // exact filter in the SAME (UTF-8 binary) order the pruning used —
+    // Java String order disagrees for supplementary-plane characters
     decodeManifest(spark, dir, pruned)
-      .filter(r => r.doc_id >= lo && r.doc_id <= hi)
+      .filter(r => Utf8Order.gte(r.doc_id, lo) && Utf8Order.lte(r.doc_id, hi))
   }
 
   /** Content-predicate pruned decode: two manifest-level levels before any

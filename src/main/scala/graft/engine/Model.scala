@@ -46,6 +46,33 @@ final case class EncoderConfig(
   require(chunkTokens > 0 && maxRowsPerChunk > 0)
 }
 
+/** Lexicographic UNSIGNED byte order over UTF-8 encodings — the order Spark
+  * SQL string comparisons use (UTF8String). Java's String.compareTo orders
+  * by UTF-16 code units, which DISAGREES for supplementary-plane characters
+  * (a surrogate pair sorts below U+E000..U+FFFF in UTF-16 but above in
+  * UTF-8). Zone-map doc_id bounds are pruned with Spark column predicates,
+  * so the bounds computation and the exact row filters must all use THIS
+  * order or an emoji doc_id could be pruned away while the row filter would
+  * have kept it. */
+object Utf8Order {
+  def compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+  @inline def lt(a: String, b: String): Boolean = compare(a, b) < 0
+  @inline def gt(a: String, b: String): Boolean = compare(a, b) > 0
+  @inline def lte(a: String, b: String): Boolean = compare(a, b) <= 0
+  @inline def gte(a: String, b: String): Boolean = compare(a, b) >= 0
+}
+
 /** Per-source/per-codec rollup row used by reports and SparkEntry queries. */
 final case class EncodeReport(
     source: String,

@@ -63,8 +63,12 @@ object TokenSketch {
     }
   }
 
-  /** Consult the sketch; `true` means "must decode" (conservative on empty
-    * or unknown modes). The caller has already applied the min/max bounds,
+  /** Consult the sketch; `true` means "must decode". Fails OPEN on anything
+    * structurally unreadable — empty, unknown mode, or a sketch whose body
+    * is shorter than its declared mode requires (a truncated/corrupted
+    * manifest entry must cost at most a wasted decode, NEVER a silently
+    * dropped row; the per-chunk CRC on the data path still catches real
+    * corruption loudly). The caller has already applied the min/max bounds,
     * so `tok` is inside [minTok, maxTok] when this is called with mode 1. */
   def mightContain(sketch: Array[Byte], minTok: Int, tok: Int): Boolean = {
     if (sketch == null || sketch.length == 0) return true
@@ -72,14 +76,18 @@ object TokenSketch {
       case 1 =>
         val r = new graft.codec.Varint.Reader(sketch)
         r.pos = 1
-        val range = r.read()
+        val range = try r.read() catch { case _: Exception => return true }
+        if (range <= 0 || range > BitmapMaxRange ||
+            r.pos + ((range + 7) / 8).toInt > sketch.length)
+          return true // truncated/garbled bitmap: fail open
         val off = tok.toLong - minTok.toLong
         if (off < 0 || off >= range) false
         else {
           val idx = r.pos + (off >>> 3).toInt
-          idx < sketch.length && ((sketch(idx) >> (off & 7).toInt) & 1) != 0
+          ((sketch(idx) >> (off & 7).toInt) & 1) != 0
         }
       case 2 =>
+        if (sketch.length < 1 + BloomBits / 8) return true // truncated bloom
         var h = mix(tok.toLong)
         var k = 0
         var all = true

@@ -96,6 +96,9 @@ object CsvTableIO extends TableIO {
   override def readSequences(spark: SparkSession, path: String): Dataset[SeqRow] = {
     import spark.implicits._
     spark.read.option("header", "true")
+      // quoted fields may legitimately contain newlines (foreign doc ids /
+      // sources): without multiLine the record would silently shred
+      .option("multiLine", "true")
       .schema("doc_id STRING, tokens STRING, n_tok INT, source STRING")
       .csv(path)
       // a zero-token row must come back as an EMPTY array: the CSV reader
@@ -105,6 +108,9 @@ object CsvTableIO extends TableIO {
         when(col("tokens").isNull || length(col("tokens")) === 0,
             expr("array()").cast("array<int>"))
           .otherwise(expr("transform(split(tokens, ' '), x -> CAST(x AS INT))")))
+      // empty STRING fields also read as NULL; SeqRow fields are non-null
+      .withColumn("doc_id", coalesce(col("doc_id"), typedLit("")))
+      .withColumn("source", coalesce(col("source"), typedLit("")))
       .select("doc_id", "tokens", "n_tok", "source")
       .as[SeqRow]
   }
@@ -119,15 +125,19 @@ object CsvTableIO extends TableIO {
   override def readChunks(spark: SparkSession, path: String): Dataset[EncodedChunk] = {
     import spark.implicits._
     ZoneDefaults(spark.read.option("header", "true")
+        .option("multiLine", "true") // doc_id bounds may contain newlines
         .schema("chunk_id LONG, part_id INT, seq INT, codec INT, n_rows INT, " +
           "n_tokens LONG, raw_bytes LONG, enc_bytes LONG, crc32 LONG, " +
           "min_doc_id STRING, max_doc_id STRING, min_tok INT, max_tok INT, " +
           "tok_set STRING, payload STRING, meta STRING")
         .csv(path))
       // an EMPTY binary (zero-token chunk's tok_set) rides as an empty CSV
-      // field, which the reader surfaces as NULL — restore the empty array
+      // field, which the reader surfaces as NULL — restore the empty array;
+      // same for empty-string doc_id bounds
       .withColumn("tok_set", coalesce(unhex(col("tok_set")),
         typedLit(Array.emptyByteArray)))
+      .withColumn("min_doc_id", coalesce(col("min_doc_id"), typedLit("")))
+      .withColumn("max_doc_id", coalesce(col("max_doc_id"), typedLit("")))
       .withColumn("payload", unhex(col("payload")))
       .withColumn("meta", unhex(col("meta")))
       .select("chunk_id", "part_id", "seq", "codec", "n_rows", "n_tokens",

@@ -169,14 +169,14 @@ object AnnQueries {
       transform(col("embedding"), x => x.cast("double")).as("vec"))
       .as[(Long, Array[Double])]
       .cache()
-    // Deterministic coarse quantizer trained on an O(k) sample: modulo
-    // thinning for spread, then a HARD row cap before the collect — the
-    // driver sees at most k*128 vectors no matter how large the table is
-    // (k-means init/refinement only needs O(k) points, not O(N)). The
-    // collected sample is sorted by vec_id so training does not depend on
-    // partition/arrival order (limit's pick is layout-dependent; the sort
-    // pins everything after it).
-    val sample = e.filter(_._1 % 7 == 0).limit(k * 128).collect()
+    // Deterministic coarse quantizer trained on an O(k) sample. The
+    // thinning modulus is DERIVED FROM N so the expected match count stays
+    // <= k*128 at any corpus size — membership is a pure function of
+    // vec_id, never of partition layout (a limit() here would pick
+    // whichever rows arrived first and train different centroids across
+    // layouts). The residual limit is a never-binding memory backstop.
+    val m = Ivf.sampleModulus(n, k)
+    val sample = e.filter(_._1 % m == 0).limit(k * 256).collect()
       .sortBy(_._1).map(_._2)
     val centroids = Ivf.train(sample, k = k, iters = 2)
     val bcCentroids = s.sparkContext.broadcast(centroids)
@@ -328,6 +328,13 @@ object Ivf {
     * cluster budget is a config change, not a rebuild. */
   def maxK(s: org.apache.spark.sql.SparkSession): Int =
     s.conf.get("graft.ivf.maxK", MaxK.toString).toInt
+
+  /** Training-sample thinning modulus: smallest m >= 7 with n/m <= k*128,
+    * so the sample stays O(k) at any N while membership (id % m == 0) is a
+    * pure function of the id — integer-exact, replicated in the Python
+    * oracle. */
+  def sampleModulus(n: Long, k: Int): Long =
+    math.max(7L, (n + k.toLong * 128 - 1) / (k.toLong * 128))
 
   /** Evenly-strided init from the sample refined by `iters` Lloyd steps.
     * Pure function of its inputs. */

@@ -32,9 +32,14 @@ object TextQueries {
     val ds = docs(s, dir)
       .select(col("doc_id").cast("long"), col("text"), col("source"))
       .as[(Long, String, String)]
-    // deterministic O(1) training sample: modulo-thinned, HARD-capped before
-    // the collect, sorted so training is independent of partition layout
-    val sample = ds.filter(_._1 % 97 == 0).limit(512).collect()
+    // deterministic O(1) training sample: the thinning modulus derives from
+    // the doc count so expected matches stay <= 512 at any corpus size and
+    // membership is a pure function of doc_id — a limit() would pick
+    // layout-dependent rows and train a different dictionary per run. The
+    // residual limit is a never-binding memory backstop.
+    val n = ds.count()
+    val m = math.max(97L, (n + 511) / 512)
+    val sample = ds.filter(_._1 % m == 0).limit(2048).collect()
       .sortBy(_._1).map(_._2).mkString("\n").getBytes("UTF-8")
     val table = graft.codec.Fsst.train(sample)
     val bcSyms = s.sparkContext.broadcast(table.symbols)

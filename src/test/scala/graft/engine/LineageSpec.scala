@@ -181,6 +181,27 @@ class LineageSpec extends AnyFunSuite {
     assert(live.collect().map(_.part_id).toSet == Set(0, 1))
   }
 
+  test("doc_id range decode agrees with UTF-8 binary order for " +
+      "supplementary-plane ids (pruning and row filter use ONE order)") {
+    import spark.implicits._
+    val dir = tmpDir()
+    // UTF-16 code-unit order: "a" < emoji(U+1F600, surrogate D83D..) < U+E000
+    // UTF-8 binary order:     "a" < U+E000 < emoji — the order Spark's
+    // column predicates (and now the bounds + row filter) use
+    val rows = Seq(
+      SeqRow("a-doc", Array(1), 1, "s"),
+      SeqRow("😀-doc", Array(2), 1, "s"), // U+1F600
+      SeqRow("-doc", Array(3), 1, "s"))
+    Lineage.encodeToDir(spark.createDataset(rows), dir,
+      EncoderConfig(chunkTokens = 4, maxRowsPerChunk = 1, numPartitions = 1))
+    val got = Lineage.decodeDocIdRange(spark, dir, "a", "￿")
+      .collect().map(_.doc_id).toSet
+    // binary order keeps "a-doc" and "-doc", excludes the emoji id
+    // (UTF-16 ordering would have included it while the zone map pruned its
+    // chunk — a silent row drop)
+    assert(got == Set("a-doc", "-doc"), s"got $got")
+  }
+
   test("encodeToDir is byte-deterministic across runs (resume soundness)") {
     val ds = Corpus.table(spark, 500, partitions = 4)
     val cfg = EncoderConfig(chunkTokens = 8192, numPartitions = 4)

@@ -64,6 +64,26 @@ class TokenSketchSpec extends AnyFunSuite with GenChecks {
     assert(TokenSketch.build(Array.emptyIntArray, Int.MaxValue, Int.MinValue).isEmpty)
   }
 
+  test("truncated/garbled sketches fail OPEN (no crash, no false negative)") {
+    val toks = Array.tabulate(500)(i => i * 13 % 4000)
+    val bm = TokenSketch.build(toks, toks.min, toks.max)
+    assert(bm(0) == 1)
+    val wide = TokenSketch.build(toks :+ Int.MaxValue, toks.min, Int.MaxValue)
+    assert(wide(0) == 2)
+    for (sk <- Seq(bm, wide); keep <- Seq(1, 2, 5, sk.length / 2)) {
+      val cut = java.util.Arrays.copyOf(sk, keep)
+      toks.foreach { t =>
+        // must not throw, and a PRESENT token must never be denied
+        assert(TokenSketch.mightContain(cut, toks.min, t),
+          s"false negative on truncated sketch (mode ${sk(0)}, keep=$keep, t=$t)")
+      }
+    }
+    // garbled mode-1 range larger than the body: fail open too
+    val garbled = bm.clone()
+    garbled(1) = 0xFF.toByte; garbled(2) = 0xFF.toByte // blow up the varint
+    toks.foreach(t => assert(TokenSketch.mightContain(garbled, toks.min, t)))
+  }
+
   test("chunk-TABLE containment decode: pushdown predicates + sketch prune") {
     val spark = graft.SparkTestSession.spark
     import spark.implicits._

@@ -27,6 +27,11 @@ def k_for(n):
     return max(4, min(4096, k))
 
 
+def sample_modulus(n, k):
+    # Ivf.sampleModulus: smallest m >= 7 with n/m <= k*128
+    return max(7, (n + k * 128 - 1) // (k * 128))
+
+
 def round4(x):
     return float(Decimal(x).quantize(Decimal("0.0001"), ROUND_HALF_UP))
 
@@ -86,7 +91,8 @@ def gen_ivf(sf_dir, out, recall_out):
         "ORDER BY vec_id").fetchall()
     vecs = {int(i): [float(x) for x in v] for i, v in rows}
     k = k_for(len(vecs))
-    sample = [vecs[i] for i in sorted(vecs) if i % 7 == 0][:k * 128]
+    m = sample_modulus(len(vecs), k)
+    sample = [vecs[i] for i in sorted(vecs) if i % m == 0][:k * 256]
     cents = train(sample, k)
     assigned = {i: nearest(cents, v) for i, v in vecs.items()}
     out_rows = []
