@@ -142,11 +142,13 @@ object Decoder {
     import org.apache.spark.sql.functions.col
     val spark = chunks.sparkSession
     import spark.implicits._
+    // same UTF-8 binary order as the pruning predicates (Utf8Order doc);
+    // bound encodings hoisted out of the per-row path
+    val inRange = Utf8Order.inRange(Utf8Order.bytes(lo), Utf8Order.bytes(hi)) _
     chunks
       .filter(col("max_doc_id") >= lo && col("min_doc_id") <= hi)
       .flatMap(c => ChunkBuilder.open(c))
-      // same UTF-8 binary order as the pruning predicates (Utf8Order doc)
-      .filter(r => Utf8Order.gte(r.doc_id, lo) && Utf8Order.lte(r.doc_id, hi))
+      .filter(r => inRange(r.doc_id))
   }
 
   /** Containment-pruned decode over a chunk TABLE — the same two-level

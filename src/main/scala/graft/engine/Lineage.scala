@@ -164,7 +164,9 @@ object Lineage {
 
   /** Rewrite the committed manifest as parquet (plus a currency marker).
     * Run after a (batch of) encodeToDir calls; idempotent. Returns the
-    * number of lineage partitions covered. */
+    * number of lineage partitions covered. A marker in any older/foreign
+    * format simply reads as stale (JSON fallback, always correct) —
+    * re-running compactManifest refreshes it. */
   def compactManifest(spark: SparkSession, dir: String): Long = {
     import spark.implicits._
     val fs = FileSystem.get(new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
@@ -203,9 +205,10 @@ object Lineage {
     val pruned = readManifest(spark, dir)
       .filter(col("max_doc_id") >= lo && col("min_doc_id") <= hi)
     // exact filter in the SAME (UTF-8 binary) order the pruning used —
-    // Java String order disagrees for supplementary-plane characters
-    decodeManifest(spark, dir, pruned)
-      .filter(r => Utf8Order.gte(r.doc_id, lo) && Utf8Order.lte(r.doc_id, hi))
+    // Java String order disagrees for supplementary-plane characters;
+    // bound encodings hoisted out of the per-row path
+    val inRange = Utf8Order.inRange(Utf8Order.bytes(lo), Utf8Order.bytes(hi)) _
+    decodeManifest(spark, dir, pruned).filter(r => inRange(r.doc_id))
   }
 
   /** Content-predicate pruned decode: two manifest-level levels before any

@@ -55,9 +55,10 @@ final case class EncoderConfig(
   * order or an emoji doc_id could be pruned away while the row filter would
   * have kept it. */
 object Utf8Order {
-  def compare(a: String, b: String): Int = {
-    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  def bytes(s: String): Array[Byte] =
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  def compareBytes(x: Array[Byte], y: Array[Byte]): Int = {
     var i = 0
     val n = math.min(x.length, y.length)
     while (i < n) {
@@ -67,10 +68,20 @@ object Utf8Order {
     }
     x.length - y.length
   }
+
+  def compare(a: String, b: String): Int = compareBytes(bytes(a), bytes(b))
   @inline def lt(a: String, b: String): Boolean = compare(a, b) < 0
   @inline def gt(a: String, b: String): Boolean = compare(a, b) > 0
   @inline def lte(a: String, b: String): Boolean = compare(a, b) <= 0
   @inline def gte(a: String, b: String): Boolean = compare(a, b) >= 0
+
+  /** Range predicate with the bound encodings hoisted out of the per-row
+    * path: one getBytes per ROW, zero per-bound (a naive gte/lte pair costs
+    * four encodes per row on the decode hot path). */
+  def inRange(loUtf8: Array[Byte], hiUtf8: Array[Byte])(s: String): Boolean = {
+    val b = bytes(s)
+    compareBytes(b, loUtf8) >= 0 && compareBytes(b, hiUtf8) <= 0
+  }
 }
 
 /** Per-source/per-codec rollup row used by reports and SparkEntry queries. */

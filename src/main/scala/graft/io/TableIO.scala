@@ -81,8 +81,11 @@ object OrcTableIO extends TableIO {
   * strings). CSV has neither array nor binary types: the tokens column
   * rides as a space-delimited int string, chunk payload/meta/tok_set as
   * HEX (Spark's base64() emits MIME-chunked output with embedded newlines,
-  * which shreds CSV records; hex is newline-free). Ingest/interchange only
-  * — at scale this is the format you read ONCE and convert to parquet. */
+  * which shreds CSV records; hex is newline-free). Reads use
+  * multiLine=true for correctness with quoted newlines in string fields,
+  * which makes each FILE a single task — fine for the read-once ingest
+  * role (split large CSVs into many files, or convert to parquet first).
+  * Ingest/interchange only. */
 object CsvTableIO extends TableIO {
   import org.apache.spark.sql.functions.{coalesce, col, concat_ws, expr, hex, length, typedLit, unhex, when}
 

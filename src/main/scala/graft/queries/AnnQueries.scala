@@ -171,13 +171,15 @@ object AnnQueries {
       .cache()
     // Deterministic coarse quantizer trained on an O(k) sample. The
     // thinning modulus is DERIVED FROM N so the expected match count stays
-    // <= k*128 at any corpus size — membership is a pure function of
-    // vec_id, never of partition layout (a limit() here would pick
-    // whichever rows arrived first and train different centroids across
-    // layouts). The residual limit is a never-binding memory backstop.
+    // <= k*128 at any corpus size, and membership is a pure function of
+    // vec_id. The memory backstop is orderBy+limit — TakeOrdered, i.e. the
+    // SMALLEST matching ids — so even when a sparse/strided id space makes
+    // the cap bind, the chosen rows are layout-independent and identical
+    // to the Python oracle's sorted-prefix (a bare limit() would pick
+    // whichever rows arrived first).
     val m = Ivf.sampleModulus(n, k)
-    val sample = e.filter(_._1 % m == 0).limit(k * 256).collect()
-      .sortBy(_._1).map(_._2)
+    val sample = e.filter(_._1 % m == 0).orderBy(col("vec_id")).limit(k * 256)
+      .collect().map(_._2)
     val centroids = Ivf.train(sample, k = k, iters = 2)
     val bcCentroids = s.sparkContext.broadcast(centroids)
     val assigned = e.map { case (id, v) =>
@@ -329,12 +331,16 @@ object Ivf {
   def maxK(s: org.apache.spark.sql.SparkSession): Int =
     s.conf.get("graft.ivf.maxK", MaxK.toString).toInt
 
-  /** Training-sample thinning modulus: smallest m >= 7 with n/m <= k*128,
-    * so the sample stays O(k) at any N while membership (id % m == 0) is a
-    * pure function of the id — integer-exact, replicated in the Python
-    * oracle. */
+  /** Training-sample thinning modulus: smallest m >= base with
+    * n/m <= cap, so the sample stays O(cap) at any N while membership
+    * (id % m == 0) is a pure function of the id — integer-exact,
+    * replicated in the Python oracle. Shared by the IVF quantizer
+    * (base=7, cap=k*128) and the shared-dictionary text trainer. */
+  def sampleModulus(n: Long, base: Long, cap: Long): Long =
+    math.max(base, (n + cap - 1) / cap)
+
   def sampleModulus(n: Long, k: Int): Long =
-    math.max(7L, (n + k.toLong * 128 - 1) / (k.toLong * 128))
+    sampleModulus(n, 7L, k.toLong * 128)
 
   /** Evenly-strided init from the sample refined by `iters` Lloyd steps.
     * Pure function of its inputs. */

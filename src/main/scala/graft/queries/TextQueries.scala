@@ -34,13 +34,13 @@ object TextQueries {
       .as[(Long, String, String)]
     // deterministic O(1) training sample: the thinning modulus derives from
     // the doc count so expected matches stay <= 512 at any corpus size and
-    // membership is a pure function of doc_id — a limit() would pick
-    // layout-dependent rows and train a different dictionary per run. The
-    // residual limit is a never-binding memory backstop.
+    // membership is a pure function of doc_id; the memory backstop is
+    // orderBy+limit (TakeOrdered = the SMALLEST matching ids), which stays
+    // layout-independent even if a sparse id space makes the cap bind
     val n = ds.count()
-    val m = math.max(97L, (n + 511) / 512)
-    val sample = ds.filter(_._1 % m == 0).limit(2048).collect()
-      .sortBy(_._1).map(_._2).mkString("\n").getBytes("UTF-8")
+    val m = Ivf.sampleModulus(n, base = 97L, cap = 512L)
+    val sample = ds.filter(_._1 % m == 0).orderBy(col("doc_id")).limit(2048)
+      .collect().map(_._2).mkString("\n").getBytes("UTF-8")
     val table = graft.codec.Fsst.train(sample)
     val bcSyms = s.sparkContext.broadcast(table.symbols)
     ds.mapPartitions { it =>

@@ -185,21 +185,27 @@ class LineageSpec extends AnyFunSuite {
       "supplementary-plane ids (pruning and row filter use ONE order)") {
     import spark.implicits._
     val dir = tmpDir()
-    // UTF-16 code-unit order: "a" < emoji(U+1F600, surrogate D83D..) < U+E000
-    // UTF-8 binary order:     "a" < U+E000 < emoji — the order Spark's
-    // column predicates (and now the bounds + row filter) use
+    // UTF-16 code-unit order: emoji(U+1F600, surrogates D83D..) < U+E000;
+    // UTF-8 binary order (what Spark's column predicates use): U+E000 < emoji.
+    // BOTH ids share ONE chunk, so the chunk's max_doc_id depends on which
+    // order the bounds loop uses: UTF-16 order would store max = the U+E000
+    // id, the Spark-side prune (binary order) then sees the emoji probe as
+    // out of range and SILENTLY DROPS its row — the regression this test
+    // pins (it fails if ChunkBuilder's bounds revert to Java String order).
+    val emojiId = "😀-doc" // U+1F600
+    val bmpId = "-doc"
     val rows = Seq(
-      SeqRow("a-doc", Array(1), 1, "s"),
-      SeqRow("😀-doc", Array(2), 1, "s"), // U+1F600
-      SeqRow("-doc", Array(3), 1, "s"))
+      SeqRow(bmpId, Array(1), 1, "s"),
+      SeqRow(emojiId, Array(2), 1, "s"))
     Lineage.encodeToDir(spark.createDataset(rows), dir,
-      EncoderConfig(chunkTokens = 4, maxRowsPerChunk = 1, numPartitions = 1))
-    val got = Lineage.decodeDocIdRange(spark, dir, "a", "￿")
+      EncoderConfig(chunkTokens = 64, maxRowsPerChunk = 4, numPartitions = 1))
+    assert(Lineage.readManifest(spark, dir).count() == 1L, "need ONE chunk")
+    val gotEmoji = Lineage.decodeDocIdRange(spark, dir, emojiId, emojiId)
       .collect().map(_.doc_id).toSet
-    // binary order keeps "a-doc" and "-doc", excludes the emoji id
-    // (UTF-16 ordering would have included it while the zone map pruned its
-    // chunk — a silent row drop)
-    assert(got == Set("a-doc", "-doc"), s"got $got")
+    assert(gotEmoji == Set(emojiId), s"emoji row lost to pruning: $gotEmoji")
+    val gotBmp = Lineage.decodeDocIdRange(spark, dir, bmpId, bmpId)
+      .collect().map(_.doc_id).toSet
+    assert(gotBmp == Set(bmpId), s"got $gotBmp")
   }
 
   test("encodeToDir is byte-deterministic across runs (resume soundness)") {
