@@ -110,9 +110,11 @@ object EngineQueries {
       |  payload_ratio
       |FROM f
       |UNION ALL
-      |SELECT '_total', (SELECT sum(n_chunks) FROM f), c.n_tokens,
-      |  4 * c.n_tokens,
-      |  (SELECT sum(payload_bytes) FROM f), (SELECT sum(meta_bytes) FROM f),
+      |SELECT '_total',
+      |  CAST((SELECT sum(n_chunks) FROM f) AS BIGINT), c.n_tokens,
+      |  CAST(4 * c.n_tokens AS BIGINT),
+      |  CAST((SELECT sum(payload_bytes) FROM f) AS BIGINT),
+      |  CAST((SELECT sum(meta_bytes) FROM f) AS BIGINT),
       |  round((SELECT sum(payload_bytes) FROM f) * 1.0 / (4 * c.n_tokens), 4)
       |FROM c
       |ORDER BY codec""".stripMargin
