@@ -14,7 +14,8 @@ class PackSpec extends AnyFunSuite {
   private lazy val bins = PackQueries.packedBins(spark, sf).collect()
   private lazy val corpus: Map[String, SeqRow] = {
     import spark.implicits._
-    graft.io.CorpusTable.table(spark, 500)
+    graft.io.CorpusTable.table(spark,
+        math.min(EngineQueries.rowsForDir(sf), 5000L))
       .select("doc_id", "tokens", "n_tok", "source").as[SeqRow]
       .collect().map(r => r.doc_id -> r).toMap
   }

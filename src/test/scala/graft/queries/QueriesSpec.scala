@@ -13,7 +13,8 @@ class QueriesSpec extends AnyFunSuite {
   test("salted exact-distinct equals naive distinct per source") {
     val got = EngineQueries.sourceDistinctTokens(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val rows = Corpus.table(spark, 500, partitions = 4).collect()
+    val n = math.min(EngineQueries.rowsForDir(sf), 20000L)
+    val rows = Corpus.table(spark, n, partitions = 4).collect()
     val naive = rows.groupBy(_.source)
       .map { case (s, rs) => s -> rs.flatMap(_.tokens).distinct.length.toLong }
     assert(got == naive)
