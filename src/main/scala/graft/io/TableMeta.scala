@@ -40,4 +40,44 @@ object TableMeta {
       Some(total)
     } catch { case _: Exception => None }
   }
+
+  /** Total UNCOMPRESSED bytes of one top-level column across all row groups
+    * of a parquet file/dir — footer metadata only. Lets a training-sample
+    * collect size its ROW cap from the table's actual byte density
+    * (avg bytes per row = columnBytes / rowCount) before any data is read,
+    * so a driver-side collect stays byte-bounded even on tables with very
+    * wide values. None when unreadable — callers fall back to row caps. */
+  def parquetColumnBytes(path: String, column: String,
+                         conf: Configuration = new Configuration())
+      : Option[Long] = {
+    try {
+      val p = new Path(path)
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) return None
+      val files: Array[FileStatus] =
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).filter(st => st.isFile &&
+            st.getPath.getName.endsWith(".parquet"))
+        else Array(fs.getFileStatus(p))
+      if (files.isEmpty) return None
+      var total = 0L
+      var seen = false
+      files.foreach { st =>
+        val r = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
+        try {
+          r.getFooter.getBlocks.forEach { block =>
+            block.getColumns.forEach { cc =>
+              // match on the top-level field name (nested columns like
+              // `text` vs `embedding.list.element` both lead with it)
+              if (cc.getPath.toArray.headOption.contains(column)) {
+                total += cc.getTotalUncompressedSize
+                seen = true
+              }
+            }
+          }
+        } finally r.close()
+      }
+      if (seen) Some(total) else None
+    } catch { case _: Exception => None }
+  }
 }

@@ -201,7 +201,11 @@ object AnnQueries {
     // to the Python oracle's sorted-prefix (a bare limit() would pick
     // whichever rows arrived first).
     val m = Ivf.sampleModulus(n, k)
-    val sample = e.filter(_._1 % m == 0).orderBy(col("vec_id")).limit(k * 256)
+    // 1-row peek for the vector width (LocalLimit 1 — one page, not a scan):
+    // the BYTE-aware row cap needs dim before the collect materializes
+    val dim = raw.select(size(col("embedding"))).head().getInt(0)
+    val rowCap = Ivf.trainRowCap(k, dim, Ivf.trainMaxBytes(s))
+    val sample = e.filter(_._1 % m == 0).orderBy(col("vec_id")).limit(rowCap)
       .collect().map(_._2)
     val centroids = Ivf.train(sample, k = k, iters = 2)
     val bcCentroids = s.sparkContext.broadcast(centroids)
@@ -358,6 +362,27 @@ object Ivf {
     * cluster budget is a config change, not a rebuild. */
   def maxK(s: org.apache.spark.sql.SparkSession): Int =
     s.conf.get("graft.ivf.maxK", MaxK.toString).toInt
+
+  /** Driver-memory budget for training-sample collects
+    * (`graft.train.maxBytes`, default 64 MB) — shared by the IVF quantizer
+    * and the shared-dictionary text trainer. */
+  final val DefaultTrainMaxBytes: Long = 64L << 20
+  def trainMaxBytes(s: org.apache.spark.sql.SparkSession): Long =
+    s.conf.get("graft.train.maxBytes", DefaultTrainMaxBytes.toString).toLong
+
+  /** Training-sample row cap, BYTE-aware. The k*256 row bound alone is the
+    * right shape (O(k·dim), N-independent) but memory-meaningless at the
+    * extremes: maxK=4096 × dim-768 doubles is ~6 GB of driver heap. Capping
+    * rows at maxBytes / (8·dim) as well makes the bound a real memory bound;
+    * the floor of k keeps one init point per centroid. Pure function of
+    * (k, dim, budget) — deterministic, and at fixture scale (dim 64,
+    * 64 MB) the byte cap never binds, so the Python oracle replica's plain
+    * k*256 still derives the identical sample. */
+  def trainRowCap(k: Int, dim: Int, maxBytes: Long): Int = {
+    val rowBytes = math.max(1L, 8L * dim)
+    val byBytes = math.max(k.toLong, maxBytes / rowBytes)
+    math.min(k.toLong * 256, byBytes).toInt
+  }
 
   /** Training-sample thinning modulus: smallest m >= base with
     * n/m <= cap, so the sample stays O(cap) at any N while membership

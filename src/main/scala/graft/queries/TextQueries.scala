@@ -30,18 +30,44 @@ object TextQueries {
   def docCompressShared(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ds = docs(s, dir)
-      .select(col("doc_id").cast("long"), col("text"), col("source"))
-      .as[(Long, String, String)]
-    // deterministic O(1) training sample: the thinning modulus derives from
-    // the doc count so expected matches stay <= 512 at any corpus size and
-    // membership is a pure function of doc_id; the memory backstop is
-    // orderBy+limit (TakeOrdered = the SMALLEST matching ids), which stays
-    // layout-independent even if a sparse id space makes the cap bind
-    val n = ds.count()
+      .select(col("doc_id").cast("string").as("doc_id"), col("text"),
+        col("source"))
+      .as[(String, String, String)]
+    // deterministic O(1) training sample, FORMAT-FREE: membership keys on
+    // the 60-bit md5 doc key (PackQueries.docKey — works for ANY id scheme;
+    // the previous cast(doc_id as long) NULLed on non-numeric ids and threw
+    // in the typed decode), with the thinning modulus derived from the doc
+    // count (parquet footer metadata, not a scan) so expected matches stay
+    // <= 512 at any corpus size. Memory backstop is BYTE-aware: the row cap
+    // scales down from 2048 when footer metadata says the table's avg text
+    // bytes/row would blow the graft.train.maxBytes budget, and the blob
+    // fold below enforces the budget exactly — a wide-document corpus can
+    // not blow the driver heap no matter what the row cap admits.
+    val tablePath = s"$dir/documents.parquet"
+    val n = graft.io.TableMeta.parquetRowCount(tablePath)
+      .getOrElse(ds.count())
     val m = Ivf.sampleModulus(n, base = 97L, cap = 512L)
-    val sample = ds.filter(_._1 % m == 0).orderBy(col("doc_id")).limit(2048)
-      .collect().map(_._2).mkString("\n").getBytes("UTF-8")
-    val table = graft.codec.Fsst.train(sample)
+    val budget = Ivf.trainMaxBytes(s)
+    val avgDoc = graft.io.TableMeta.parquetColumnBytes(tablePath, "text")
+      .map(b => math.max(1L, b / math.max(1L, n))).getOrElse(1L)
+    val rowCap = math.max(1L, math.min(2048L, budget / avgDoc)).toInt
+    val matched = ds.filter(r => PackQueries.docKey(r._1) % m == 0)
+      .orderBy(col("doc_id")).limit(rowCap)
+      .collect()
+    // md5 keys are uniform but unconstrained: an (unlikely) empty match set
+    // still needs SOME training text — fall back to the first doc
+    val picked =
+      if (matched.nonEmpty) matched
+      else ds.orderBy(col("doc_id")).limit(1).collect()
+    val blob = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < picked.length && blob.size() < budget) {
+      if (i > 0) blob.write('\n')
+      val b = picked(i)._2.getBytes("UTF-8")
+      blob.write(b, 0, math.min(b.length, (budget - blob.size()).toInt))
+      i += 1
+    }
+    val table = graft.codec.Fsst.train(blob.toByteArray)
     val bcSyms = s.sparkContext.broadcast(table.symbols)
     ds.mapPartitions { it =>
       val t = new graft.codec.Fsst.SymbolTable(bcSyms.value) // built once per task
