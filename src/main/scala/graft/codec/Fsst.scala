@@ -373,8 +373,14 @@ object Fsst {
         out
       case 7 | 8 =>
         if (!allowWordModel) throw CorruptException("nested word-model frame")
-        val dictLen = r.read().toInt
-        if (dictLen < 0 || r.pos + dictLen > end) throw TruncatedException
+        // bound check in LONG arithmetic: a hostile varint near Int.MaxValue
+        // would overflow `r.pos + dictLen` to negative and slip past an int
+        // compare, surfacing as an untyped copyOfRange error instead of the
+        // typed Truncated the decode contract promises
+        val dictLenL = r.read()
+        if (dictLenL < 0 || dictLenL > Int.MaxValue ||
+            r.pos.toLong + dictLenL > end) throw TruncatedException
+        val dictLen = dictLenL.toInt
         val dictFrame = java.util.Arrays.copyOfRange(bytes, r.pos, r.pos + dictLen)
         val entries = WordModel.unpackDict(decodeInner(dictFrame, false))
         val p = r.pos + dictLen

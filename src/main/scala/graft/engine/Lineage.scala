@@ -93,19 +93,42 @@ object Lineage {
         if (fs.exists(manifest)) {
           fs.delete(dataTmp, false): Unit
         } else {
-          // ChecksumFileSystem/HDFS rename does NOT overwrite: clear
-          // leftovers from a run that died between data-rename and
-          // manifest-commit (no manifest exists, so that data is orphaned).
-          if (fs.exists(dataFinal)) fs.delete(dataFinal, false)
-          if (!fs.rename(dataTmp, dataFinal))
-            throw new java.io.IOException(s"rename failed: $dataTmp -> $dataFinal")
-          val mTmp = new Path(s"$dir/_lineage/${pn(pid)}.json.inprogress-$attempt")
-          val mOut = fs.create(mTmp, true)
-          rows.foreach { r => mOut.write((manifestJson(r) + "\n").getBytes("UTF-8")) }
-          mOut.close()
-          if (!fs.rename(mTmp, manifest)) // commit point
-            throw new java.io.IOException(s"rename failed: $mTmp -> $manifest")
-          done.add(1L)
+          val finalLen =
+            if (fs.exists(dataFinal)) fs.getFileStatus(dataFinal).getLen else -1L
+          if (finalLen == offset) {
+            // A byte-identical data file is already in place: encode is
+            // deterministic and rename atomic, so ANY complete final file
+            // for this partition has exactly this length. NEVER delete it —
+            // the delete was the one step that could strand a concurrently
+            // committed manifest if this attempt dies mid-swap; reuse needs
+            // no rename at all. (A same-length file from a silently swapped
+            // input would be caught by the per-chunk CRC at decode.)
+            fs.delete(dataTmp, false): Unit
+          } else {
+            // ChecksumFileSystem/HDFS rename does NOT overwrite: clear
+            // leftovers from a run that died between data-rename and
+            // manifest-commit (length mismatch => partial-config orphan,
+            // never a commit-complete file).
+            if (finalLen >= 0) fs.delete(dataFinal, false)
+            if (!fs.rename(dataTmp, dataFinal))
+              throw new java.io.IOException(s"rename failed: $dataTmp -> $dataFinal")
+          }
+          // Re-check once more before the manifest commit: the winner may
+          // have committed while this attempt handled the data file. Rename
+          // no-overwrite is the final fence — losing it to an existing
+          // manifest is a benign outcome, not an error.
+          if (fs.exists(manifest)) {
+            () // committed by another attempt; identical bytes already live
+          } else {
+            val mTmp = new Path(s"$dir/_lineage/${pn(pid)}.json.inprogress-$attempt")
+            val mOut = fs.create(mTmp, true)
+            rows.foreach { r => mOut.write((manifestJson(r) + "\n").getBytes("UTF-8")) }
+            mOut.close()
+            if (!fs.rename(mTmp, manifest)) { // commit point
+              if (fs.exists(manifest)) fs.delete(mTmp, false): Unit
+              else throw new java.io.IOException(s"rename failed: $mTmp -> $manifest")
+            } else done.add(1L)
+          }
         }
       }
     }

@@ -43,17 +43,65 @@ class TokenSketchSpec extends AnyFunSuite with GenChecks {
       val toks = toks0 ++ Array(Int.MinValue, Int.MaxValue) // force huge range
       val (lo, hi) = bounds(toks)
       val sk = TokenSketch.build(toks, lo, hi)
-      assert(sk.nonEmpty && sk(0) == 2, "huge range must take bloom mode")
+      assert(sk.nonEmpty && sk(0) == 3, "huge range must take bloom mode")
       toks.foreach(t => assert(TokenSketch.mightContain(sk, lo, t),
         s"FALSE NEGATIVE at $t"))
       val present = toks.toSet
       val probes = (0 until 2000).map(i => 1000000 + i * 7919)
         .filterNot(present)
       val fps = probes.count(t => TokenSketch.mightContain(sk, lo, t))
-      // small sets in a 2KB bloom: fp rate should be far below half
+      // small sets in a >=2KB bloom: fp rate should be far below half
       if (toks.length <= 500)
         assert(fps < probes.size / 2, s"$fps/${probes.size} false positives")
     }
+  }
+
+  test("bloom scales with cardinality: 100k-distinct chunk still prunes >=90%") {
+    // r3's fixed 2 KB filter was ~100% FP here — zero pruning power
+    val toks = Array.tabulate(100000)(i => i * 20011 + 7) // wide, all distinct
+    val (lo, hi) = (toks.min, toks.max)
+    val sk = TokenSketch.build(toks, lo, hi)
+    assert(sk(0) == 3)
+    assert(sk.length <= 1 + 5 + TokenSketch.BloomMaxBits / 8)
+    toks.foreach(t => assert(TokenSketch.mightContain(sk, lo, t)))
+    val present = toks.toSet
+    val probes = (0 until 5000).map(i => i * 40009 + 13).filterNot(present)
+    val fps = probes.count(t => TokenSketch.mightContain(sk, lo, t))
+    assert(fps.toDouble / probes.size <= 0.10,
+      s"$fps/${probes.size} false positives — bloom under-sized")
+  }
+
+  test("legacy mode-2 sketches (pre-r4 manifests) still read correctly") {
+    // replica of the r3 writer: fixed 2 KB, k=4, shift-walk probes
+    def legacyBuild(toks: Array[Int]): Array[Byte] = {
+      val out = new Array[Byte](1 + TokenSketch.BloomBits / 8)
+      out(0) = 2
+      toks.foreach { t =>
+        var h = legacyMix(t.toLong)
+        (0 until TokenSketch.BloomK).foreach { _ =>
+          val bit = (h & (TokenSketch.BloomBits - 1)).toInt
+          out(1 + (bit >>> 3)) = (out(1 + (bit >>> 3)) | (1 << (bit & 7))).toByte
+          h = h >>> 14
+        }
+      }
+      out
+    }
+    val toks = Array.tabulate(400)(i => i * 104729)
+    val sk = legacyBuild(toks)
+    toks.foreach(t => assert(TokenSketch.mightContain(sk, toks.min, t),
+      s"false negative reading legacy sketch at $t"))
+    val present = toks.toSet
+    val probes = (0 until 2000).map(i => 500000 + i * 7919).filterNot(present)
+    val fps = probes.count(t => TokenSketch.mightContain(sk, toks.min, t))
+    assert(fps < probes.size / 2, "legacy decode lost its pruning power")
+  }
+
+  // the same splitmix the engine uses (stable format constant)
+  private def legacyMix(z0: Long): Long = {
+    var z = z0 ^ 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
   }
 
   test("empty and unknown sketches never prune") {
@@ -69,7 +117,7 @@ class TokenSketchSpec extends AnyFunSuite with GenChecks {
     val bm = TokenSketch.build(toks, toks.min, toks.max)
     assert(bm(0) == 1)
     val wide = TokenSketch.build(toks :+ Int.MaxValue, toks.min, Int.MaxValue)
-    assert(wide(0) == 2)
+    assert(wide(0) == 3)
     for (sk <- Seq(bm, wide); keep <- Seq(1, 2, 5, sk.length / 2)) {
       val cut = java.util.Arrays.copyOf(sk, keep)
       toks.foreach { t =>
