@@ -338,6 +338,125 @@ object Fsst {
 
   def decode(bytes: Array[Byte]): Array[Byte] = decodeInner(bytes, true)
 
+  // ---- shared-table framing (modes 10/11) ----------------------------------
+
+  /** Serialize a symbol table: varint count, then per symbol varint len +
+    * bytes. The lineage layer persists this ONCE per table dir
+    * (`_lineage/_shared_dict.bin`) and every chunk codes against it — the
+    * storage-layer recast of the reference's stateful stream mode, where one
+    * adaptive model is amortized across many writes (`_ppmdmodule.c`
+    * Ppmd7Encoder/Ppmd7Decoder), without cross-task coupling: the table is
+    * immutable after training. */
+  def tableToBytes(t: SymbolTable): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    writeVarint(bos, t.symbols.length.toLong)
+    t.symbols.foreach { s =>
+      writeVarint(bos, s.length.toLong); bos.write(s, 0, s.length)
+    }
+    bos.toByteArray
+  }
+
+  def tableFromBytes(b: Array[Byte]): SymbolTable = {
+    val r = new Varint.Reader(b)
+    val n = r.read().toInt
+    if (n < 0 || n > MaxSymbols) throw CorruptException("shared table count")
+    val symbols = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      val len = r.read().toInt
+      if (len <= 0 || len > MaxSymbolLen || r.pos + len > b.length)
+        throw CorruptException("shared table symbol")
+      symbols(i) = java.util.Arrays.copyOfRange(b, r.pos, r.pos + len)
+      r.pos += len
+      i += 1
+    }
+    new SymbolTable(symbols)
+  }
+
+  /** Frame `data` against EXTERNAL shared models: the same magic/CRC
+    * envelope as encode(), with modes 10 (shared-FSST code stream raw),
+    * 11 (shared-FSST codes through the stats-driven TokenCodec) and
+    * 14 (shared order-1 Huffman model bitstream — the winner for
+    * front-coded id blobs, whose per-chunk cost was dominated by the O1
+    * table header, not the data bits). Nothing model-sized is embedded —
+    * the decoder supplies the identical models. Emits the smallest of all
+    * shared candidates AND the self-contained encode(), so badly matched
+    * models can never inflate a section; decodeShared handles every case. */
+  def encodeShared(table: SymbolTable, o1Model: Array[Byte],
+                   data: Array[Byte]): Array[Byte] = {
+    val inline = encode(data)
+    var bestMode = -1
+    var bestBody: Array[Byte] = null
+    def consider(mode: Int, body: Array[Byte]): Unit =
+      if (body != null && (bestBody == null || body.length < bestBody.length)) {
+        bestMode = mode; bestBody = body
+      }
+    if (table != null && table.symbols.nonEmpty) {
+      val packed = compressWith(table, data)
+      consider(10, packed)
+      val ints = new Array[Int](packed.length)
+      var i = 0
+      while (i < packed.length) { ints(i) = packed(i) & 0xff; i += 1 }
+      consider(11, TokenCodec.encodeAutoFlat(ints))
+    }
+    if (o1Model != null)
+      consider(14, HuffmanO1.encodeBitsWithModel(o1Model, data))
+    if (bestBody == null) return inline
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(MagicG); bos.write(MagicS)
+    bos.write(bestMode)
+    writeVarint(bos, data.length.toLong)
+    bos.write(bestBody, 0, bestBody.length)
+    val framed = bos.toByteArray
+    val crc = new CRC32
+    crc.update(framed)
+    val out = java.util.Arrays.copyOf(framed, framed.length + 4)
+    TokenCodec.writeIntLE(out, framed.length, crc.getValue.toInt)
+    if (out.length < inline.length) out else inline
+  }
+
+  /** Decode a frame that MAY be shared-coded: modes 10/11/14 need the
+    * models; any other mode delegates to the self-contained decoder
+    * (encodeShared falls back to it when inline framing wins). */
+  def decodeShared(table: SymbolTable, o1Model: Array[Byte],
+                   bytes: Array[Byte]): Array[Byte] = {
+    if (bytes.length < 7) throw TruncatedException
+    if (bytes(0) != MagicG || bytes(1) != MagicS)
+      throw CorruptException("fsst bad magic")
+    val mode = bytes(2)
+    if (mode != 10 && mode != 11 && mode != 14)
+      return decodeInner(bytes, true)
+    val end = bytes.length - 4
+    val crc = new CRC32
+    crc.update(bytes, 0, end)
+    if (crc.getValue.toInt != TokenCodec.readIntLE(bytes, end))
+      throw CorruptException("fsst crc mismatch")
+    val r = new Varint.Reader(bytes, 3, end)
+    val rawLen = r.read().toInt
+    if (rawLen < 0) throw CorruptException("fsst raw length")
+    if (mode == 14)
+      HuffmanO1.decodeBitsWithModel(o1Model, bytes, r.pos, end, rawLen)
+    else if (table == null || table.symbols.isEmpty)
+      throw CorruptException("shared-dict frame: external table required")
+    else if (mode == 10) decompressWith(table, bytes, r.pos, end, rawLen)
+    else {
+      val codes = TokenCodec.decodeRange(bytes, r.pos, end) match {
+        case Decoded(v) => v
+        case Truncated  => throw TruncatedException
+        case Corrupt(m) => throw CorruptException(m)
+      }
+      val stream = new Array[Byte](codes.length)
+      var i = 0
+      while (i < codes.length) {
+        if (codes(i) < 0 || codes(i) > 255)
+          throw CorruptException("fsst packed code out of range")
+        stream(i) = codes(i).toByte
+        i += 1
+      }
+      decompressWith(table, stream, 0, stream.length, rawLen)
+    }
+  }
+
   /** The encoder never nests word-model frames (the dict blob is encoded
     * with allowWordModel=false), so a frame whose DICT is itself mode 7/8
     * is hostile by construction — rejecting it bounds decode recursion at
@@ -455,6 +574,8 @@ object Fsst {
           }
           decompressWith(new SymbolTable(symbols), stream, 0, stream.length, rawLen)
         }
+      case 10 | 11 | 14 => // typed and loud: NEVER silently wrong rows
+        throw CorruptException("shared-dict frame: external table required")
       case m => throw CorruptException(s"fsst mode $m")
     }
   }

@@ -87,6 +87,161 @@ object HuffmanO1 {
     bos.toByteArray
   }
 
+  // ---- shared-model variant -------------------------------------------------
+  //
+  // The per-chunk frame above pays the 32-class table header every chunk —
+  // after front-coding, that header is the dominant FIXED cost of the doc_id
+  // meta section. The shared-model variant trains the tables ONCE on a
+  // table-level sample (with add-1 smoothing so EVERY byte stays encodable
+  // in every context), serializes them out-of-band, and each chunk carries
+  // only the bitstream — the static recast of the reference's one-model-
+  // many-writes stream mode (`_ppmdmodule.c` Ppmd7Encoder).
+
+  /** 32 classes x 256 nibble-packed code lengths = 4096 bytes, exactly. */
+  final val ModelBytes = NClass * 128
+
+  def trainModel(sample: Array[Byte]): Array[Byte] = {
+    val freq = Array.ofDim[Long](NClass, 256)
+    var c = 0
+    while (c < NClass) { // add-1 smoothing: no (context, byte) is unencodable
+      var s = 0
+      while (s < 256) { freq(c)(s) = 1; s += 1 }
+      c += 1
+    }
+    var prev = 0
+    var i = 0
+    while (i < sample.length) {
+      freq(cls(prev))(sample(i) & 0xff) += 1
+      prev = sample(i)
+      i += 1
+    }
+    val out = new Array[Byte](ModelBytes)
+    c = 0
+    while (c < NClass) {
+      val l = Huffman.codeLengths(freq(c))
+      var j = 0
+      while (j < 256) {
+        out(c * 128 + (j >> 1)) = ((l(j) << 4) | l(j + 1)).toByte
+        j += 2
+      }
+      c += 1
+    }
+    out
+  }
+
+  private def modelLens(model: Array[Byte]): Array[Array[Int]] = {
+    if (model == null || model.length != ModelBytes)
+      throw CorruptException("o1 shared model size")
+    Array.tabulate(NClass) { c =>
+      val l = new Array[Int](256)
+      var j = 0
+      while (j < 256) {
+        val b = model(c * 128 + (j >> 1)) & 0xff
+        l(j) = b >>> 4
+        l(j + 1) = b & 0xf
+        j += 2
+      }
+      if (l.exists(_ == 0)) throw CorruptException("o1 shared model incomplete")
+      l
+    }
+  }
+
+  /** Bitstream ONLY (no tables, no count — the caller's envelope carries the
+    * byte count as its rawLen). */
+  def encodeBitsWithModel(model: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val lens = modelLens(model)
+    val codes = lens.map(Huffman.canonicalCodes)
+    val bos = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+    var acc = 0L
+    var nBits = 0
+    var prev = 0
+    var i = 0
+    while (i < data.length) {
+      val ctx = cls(prev)
+      val s = data(i) & 0xff
+      acc = (acc << lens(ctx)(s)) | codes(ctx)(s).toLong
+      nBits += lens(ctx)(s)
+      while (nBits >= 8) {
+        nBits -= 8
+        bos.write(((acc >>> nBits) & 0xff).toInt)
+      }
+      prev = data(i)
+      i += 1
+    }
+    if (nBits > 0) bos.write(((acc << (8 - nBits)) & 0xff).toInt)
+    bos.toByteArray
+  }
+
+  def decodeBitsWithModel(model: Array[Byte], bytes: Array[Byte], from: Int,
+                          until: Int, count: Int): Array[Byte] = {
+    if (count < 0 || count.toLong > (until - from).toLong * 8)
+      throw TruncatedException
+    val lens = modelLens(model)
+    val firstCode = Array.ofDim[Int](NClass, Huffman.MaxLen + 1)
+    val symCount = Array.ofDim[Int](NClass, Huffman.MaxLen + 1)
+    val symBase = Array.ofDim[Int](NClass, Huffman.MaxLen + 1)
+    val symbols = new Array[Array[Int]](NClass)
+    var c = 0
+    while (c < NClass) {
+      val l = lens(c)
+      val codes = Huffman.canonicalCodes(l)
+      val syms = scala.collection.mutable.ArrayBuilder.make[Int]
+      var len = 1
+      var base = 0
+      while (len <= Huffman.MaxLen) {
+        symBase(c)(len) = base
+        var s = 0
+        var first = Int.MaxValue
+        var n = 0
+        while (s < 256) {
+          if (l(s) == len) {
+            if (first == Int.MaxValue) first = codes(s)
+            syms += s
+            n += 1
+          }
+          s += 1
+        }
+        firstCode(c)(len) = first
+        symCount(c)(len) = n
+        base += n
+        len += 1
+      }
+      symbols(c) = syms.result()
+      c += 1
+    }
+    val out = new Array[Byte](count)
+    var p = from
+    var acc = 0L
+    var nBits = 0
+    var prev = 0
+    var o = 0
+    while (o < count) {
+      val ctx = cls(prev)
+      var l = 0
+      var code = 0
+      var decoded = -1
+      while (decoded < 0) {
+        if (nBits == 0) {
+          if (p >= until) throw TruncatedException
+          acc = bytes(p) & 0xffL
+          p += 1
+          nBits = 8
+        }
+        nBits -= 1
+        code = (code << 1) | ((acc >>> nBits) & 1L).toInt
+        l += 1
+        if (l > Huffman.MaxLen) throw CorruptException("o1 code overrun")
+        val fc = firstCode(ctx)(l)
+        if (fc != Int.MaxValue && code >= fc && code - fc < symCount(ctx)(l))
+          decoded = symbols(ctx)(symBase(ctx)(l) + (code - fc))
+      }
+      out(o) = decoded.toByte
+      prev = decoded
+      o += 1
+    }
+    out
+  }
+
   def decode(bytes: Array[Byte], from: Int, until: Int): Array[Byte] = {
     if (until - from < 5) throw TruncatedException
     val mask = (bytes(from) & 0xff) | ((bytes(from + 1) & 0xff) << 8) |

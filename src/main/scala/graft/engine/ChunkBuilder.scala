@@ -10,17 +10,26 @@ import java.util.zip.CRC32
   *   [varint lenB][B: TokenCodec(per-row source dict index)]
   *   [varint lenC][C: Fsst(source dictionary: varint count, then per entry
   *                     varint byteLen + utf8 bytes)]
-  *   [varint lenD][D: Fsst(doc_ids: per row varint byteLen + utf8 bytes)]
+  *   [varint lenD][D: Fsst(doc_ids, FRONT-CODED: marker 0x00, varint count,
+  *                     then per row varint shared-prefix-len with the
+  *                     previous id + varint suffix-len + suffix bytes;
+  *                     legacy chunks hold the flat packStrings blob, whose
+  *                     leading varint count >= 1 disambiguates)]
   *
   * Side columns ride the same machinery as tokens: lengths and dict indexes
   * go through the stats-driven TokenCodec (they're just int vectors), strings
-  * through FSST — per SURVEY.md §7 module plan.
+  * through FSST — per SURVEY.md §7 module plan. Section D optionally codes
+  * against a SHARED FSST table (Fsst mode 10/11) supplied by the caller —
+  * the lineage layer trains one per table dir and stores it once, so chunks
+  * stop paying a per-chunk symbol table for the one section that dominates
+  * meta (72% of it at oracle scale was doc_ids).
   */
 object ChunkBuilder {
 
   def build(partId: Int, seq: Int, docIds: Array[String],
             sources: Array[String], tokens: Array[Int],
-            rowLens: Array[Int]): EncodedChunk = {
+            rowLens: Array[Int],
+            sharedMeta: MetaDict = null): EncodedChunk = {
     val nRows = docIds.length
     require(sources.length == nRows && rowLens.length == nRows)
 
@@ -41,7 +50,11 @@ object ChunkBuilder {
     val secA = TokenCodec.encodeAuto(rowLens)
     val secB = TokenCodec.encodeAuto(srcIdx)
     val secC = Fsst.encode(packStrings(iterDict(srcDict)))
-    val secD = Fsst.encode(packStrings(docIds))
+    val dBlob = packStringsFront(docIds)
+    val secD =
+      if (sharedMeta != null)
+        Fsst.encodeShared(sharedMeta.fsst, sharedMeta.o1Model, dBlob)
+      else Fsst.encode(dBlob)
 
     val meta = concatSections(secA, secB, secC, secD)
     val crc = new CRC32
@@ -83,8 +96,13 @@ object ChunkBuilder {
 
   /** Inverse of build. Throws Corrupt/Truncated exceptions on bad framing —
     * a corrupt chunk fails its Spark task (lineage retries just that chunk,
-    * SURVEY.md §4.2 error taxonomy). */
-  def open(c: EncodedChunk): Iterator[SeqRow] = {
+    * SURVEY.md §4.2 error taxonomy). A chunk whose doc_id section was coded
+    * against a shared table needs that table back (`sharedMeta`); opening it
+    * without one throws the TYPED shared-dict CorruptException — loud,
+    * never silently wrong rows. */
+  def open(c: EncodedChunk): Iterator[SeqRow] = open(c, null)
+
+  def open(c: EncodedChunk, sharedMeta: MetaDict): Iterator[SeqRow] = {
     val tokens = TokenCodec.decodeOrThrow(c.payload)
     if (tokens.length.toLong != c.n_tokens)
       throw CorruptException(s"chunk ${c.chunk_id}: token count mismatch")
@@ -92,7 +110,11 @@ object ChunkBuilder {
     val rowLens = TokenCodec.decodeOrThrow(sections(0))
     val srcIdx = TokenCodec.decodeOrThrow(sections(1))
     val srcDict = unpackStrings(Fsst.decode(sections(2)))
-    val docIds = unpackStrings(Fsst.decode(sections(3)))
+    val dBlob =
+      if (sharedMeta != null)
+        Fsst.decodeShared(sharedMeta.fsst, sharedMeta.o1Model, sections(3))
+      else Fsst.decode(sections(3))
+    val docIds = unpackStringsAuto(dBlob)
     if (rowLens.length != c.n_rows || srcIdx.length != c.n_rows ||
         docIds.length != c.n_rows)
       throw CorruptException(s"chunk ${c.chunk_id}: row count mismatch")
@@ -154,6 +176,63 @@ object ChunkBuilder {
     }
     bos.toByteArray
   }
+
+  /** Front-coded string blob (marker 0x00): varint n, then per row the
+    * byte length of the shared prefix with the PREVIOUS string plus the
+    * suffix. Chunk rows arrive sorted by (source, doc_id), so consecutive
+    * doc_ids share long prefixes and the blob alone cuts the dominant meta
+    * section ~4x before any entropy stage. Legacy flat blobs start with
+    * varint n >= 1 (a chunk always holds a row), so the 0x00 marker is
+    * unambiguous — unpackStringsAuto sniffs it. */
+  def packStringsFront(ss: Array[String]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(0)
+    writeVarint(bos, ss.length.toLong)
+    var prev = Array.emptyByteArray
+    var i = 0
+    while (i < ss.length) {
+      val b = ss(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var p = 0
+      val max = math.min(prev.length, b.length)
+      while (p < max && prev(p) == b(p)) p += 1
+      writeVarint(bos, p.toLong)
+      writeVarint(bos, (b.length - p).toLong)
+      bos.write(b, p, b.length - p)
+      prev = b
+      i += 1
+    }
+    bos.toByteArray
+  }
+
+  def unpackStringsFront(blob: Array[Byte]): Array[String] = {
+    val r = new Varint.Reader(blob)
+    r.pos = 1 // skip the 0x00 marker
+    val n = r.read().toInt
+    if (n < 0) throw CorruptException("front-coded blob count")
+    val out = new Array[String](n)
+    var prev = Array.emptyByteArray
+    var i = 0
+    while (i < n) {
+      val p = r.read().toInt
+      val s = r.read().toInt
+      if (p < 0 || s < 0 || p > prev.length) throw CorruptException("front prefix")
+      if (r.pos + s > blob.length) throw TruncatedException
+      val b = new Array[Byte](p + s)
+      System.arraycopy(prev, 0, b, 0, p)
+      System.arraycopy(blob, r.pos, b, p, s)
+      r.pos += s
+      out(i) = new String(b, java.nio.charset.StandardCharsets.UTF_8)
+      prev = b
+      i += 1
+    }
+    out
+  }
+
+  /** Dispatch on the blob marker: 0x00 = front-coded, else the legacy flat
+    * layout (backward-readable: pre-r4 chunks decode unchanged). */
+  def unpackStringsAuto(blob: Array[Byte]): Array[String] =
+    if (blob.nonEmpty && blob(0) == 0) unpackStringsFront(blob)
+    else unpackStrings(blob)
 
   def unpackStrings(blob: Array[Byte]): Array[String] = {
     val r = new Varint.Reader(blob)

@@ -58,6 +58,9 @@ object Encoder {
                                     cfg: EncoderConfig): Iterator[EncodedChunk] =
     new Iterator[EncodedChunk] {
       private var seqNo = 0
+      // built once per task, not per chunk (bucket construction is the cost)
+      private val sharedMeta =
+        cfg.sharedMetaDict.map(MetaDict.fromBytes).orNull
       def hasNext: Boolean = rows.hasNext
       def next(): EncodedChunk = {
         val docIds = scala.collection.mutable.ArrayBuilder.make[String]
@@ -84,7 +87,8 @@ object Encoder {
           nRows += 1
         }
         val chunk = ChunkBuilder.build(partId, seqNo, docIds.result(),
-          sources.result(), java.util.Arrays.copyOf(tokens, nTok), lens.result())
+          sources.result(), java.util.Arrays.copyOf(tokens, nTok),
+          lens.result(), sharedMeta)
         seqNo += 1
         chunk
       }
@@ -127,10 +131,24 @@ object Encoder {
   * threads — the engine's answer to the reference's dedicated decoder pthread
   * (`/root/reference/src/lib/buffer/ThreadDecoder.c:98-149`). */
 object Decoder {
-  def decodeTable(chunks: Dataset[EncodedChunk]): Dataset[SeqRow] = {
+  def decodeTable(chunks: Dataset[EncodedChunk]): Dataset[SeqRow] =
+    decodeTable(chunks, None)
+
+  /** `sharedDict`: the serialized shared meta table the chunks were encoded
+    * with (EncoderConfig.sharedMetaDict / Lineage `_shared_dict.bin`). Plain
+    * Encoder.encodeTable output is self-contained — pass None. A shared-
+    * coded chunk opened without its table fails TYPED and loud. */
+  def decodeTable(chunks: Dataset[EncodedChunk],
+                  sharedDict: Option[Array[Byte]]): Dataset[SeqRow] = {
     val spark = chunks.sparkSession
     import spark.implicits._
-    chunks.flatMap(c => ChunkBuilder.open(c))
+    sharedDict match {
+      case None => chunks.flatMap(c => ChunkBuilder.open(c))
+      case Some(bytes) => chunks.mapPartitions { it =>
+        val t = MetaDict.fromBytes(bytes)
+        it.flatMap(c => ChunkBuilder.open(c, t))
+      }
+    }
   }
 
   /** Zone-map pruned decode over a chunk TABLE by doc_id range — the

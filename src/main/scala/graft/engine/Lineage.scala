@@ -56,7 +56,14 @@ object Lineage {
     fs0.mkdirs(new Path(s"$dir/data"))
     fs0.mkdirs(new Path(s"$dir/_lineage"))
 
-    val arranged = Encoder.arrange(ds, cfg) // deterministic across runs
+    // One shared meta dictionary per TABLE dir (trained on the first run,
+    // read back on every later one): chunks code their doc_id section
+    // against it instead of each training a private table — the
+    // cross-stream PPMd-ism (one model amortized over many writes) at the
+    // storage layer, without any cross-task coupling.
+    val cfgEnc = cfg.copy(sharedMetaDict = Some(sharedDictFor(ds, fs0, dir)))
+
+    val arranged = Encoder.arrange(ds, cfgEnc) // deterministic across runs
 
     val done = spark.sparkContext.longAccumulator("partitions_encoded")
     arranged.foreachPartition { (it: Iterator[SeqRow]) =>
@@ -75,7 +82,7 @@ object Lineage {
         val out = fs.create(dataTmp, true)
         val rows = new scala.collection.mutable.ArrayBuffer[ManifestRow]()
         var offset = 0L
-        Encoder.chunkIterator(it, pid, cfg).foreach { c =>
+        Encoder.chunkIterator(it, pid, cfgEnc).foreach { c =>
           val rec = frameChunk(c)
           out.write(rec)
           rows += ManifestRow(c.part_id, c.seq, c.chunk_id, c.codec, c.n_rows,
@@ -133,6 +140,74 @@ object Lineage {
       }
     }
     done.value
+  }
+
+  /** Load-or-train the dir's shared meta dictionary
+    * (`_lineage/_shared_dict.bin`). The FIRST committed run trains it from
+    * the 4096 rows SMALLEST BY md5 DOC KEY — hash order makes that a
+    * uniform pseudo-random sample (smallest-by-id would bias toward one id
+    * scheme), TakeOrdered makes it deterministic and driver-bounded, and
+    * the job reads one projected (doc_id, source) column pass — marginal
+    * next to the full encode that follows. It is published atomically;
+    * every later run — resume, append — READS the stored bytes, so all
+    * partitions of a dir code against the identical models no matter when
+    * they were encoded. */
+  private def sharedDictFor(ds: Dataset[SeqRow], fs: FileSystem,
+                            dir: String): Array[Byte] = {
+    val dictPath = new Path(s"$dir/_lineage/_shared_dict.bin")
+    def readBytes(): Array[Byte] = {
+      val in = fs.open(dictPath)
+      try {
+        val bos = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+        bos.toByteArray
+      } finally in.close()
+    }
+    if (fs.exists(dictPath)) return readBytes()
+    val spark = ds.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = ds.map(r => (DocKey.of(r.doc_id), r.doc_id, r.source))
+      .orderBy(col("_1")).limit(4096).collect()
+    // train on the REPRESENTATION the section actually holds: the
+    // front-coded id blob (prefix varints + suffixes, ids in their natural
+    // order as within a chunk) plus source strings
+    val ids = rows.map(_._2).sorted
+    val blob = ChunkBuilder.packStringsFront(ids) ++
+      ChunkBuilder.packStrings(rows.map(_._3).distinct.sorted)
+    val bytes = MetaDict.toBytes(MetaDict.train(blob))
+    val tmp = new Path(
+      s"$dir/_lineage/_shared_dict.bin.inprogress-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    out.write(bytes)
+    out.close()
+    // rename-no-overwrite is the fence: losing it means another driver
+    // published first — read back the COMMITTED file either way, which is
+    // what guarantees dir-wide consistency
+    if (!fs.rename(tmp, dictPath)) fs.delete(tmp, false): Unit
+    readBytes()
+  }
+
+  /** The dir's shared meta dictionary, if one was published (absent for
+    * pre-r4 dirs — their chunks are self-contained and decode with None). */
+  private def loadSharedDict(spark: SparkSession, dir: String)
+      : Option[Array[Byte]] = {
+    val fs = FileSystem.get(new java.net.URI(dir),
+      spark.sparkContext.hadoopConfiguration)
+    val p = new Path(s"$dir/_lineage/_shared_dict.bin")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val bos = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+        Some(bos.toByteArray)
+      } finally in.close()
+    }
   }
 
   /** Read the manifest (all partitions) as a Dataset. Prefers the compacted
@@ -262,15 +337,21 @@ object Lineage {
     import spark.implicits._
     val hconf = new SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
-    manifest.flatMap { m =>
-      val fs = FileSystem.get(new java.net.URI(dir), hconf.value)
-      val in = fs.open(new Path(s"$dir/data/${pn(m.part_id)}.graft"))
-      try {
-        in.seek(m.offset)
-        val buf = new Array[Byte](m.length.toInt)
-        in.readFully(buf)
-        ChunkBuilder.open(unframeChunk(buf, m))
-      } finally in.close()
+    val dict = loadSharedDict(spark, dir) // a few KB, shipped in the closure
+    manifest.mapPartitions { ms =>
+      // models rebuilt once per task (bucket construction is the cost);
+      // inline-framed sections of mixed-era dirs decode through them too
+      val table = dict.map(MetaDict.fromBytes).orNull
+      ms.flatMap { m =>
+        val fs = FileSystem.get(new java.net.URI(dir), hconf.value)
+        val in = fs.open(new Path(s"$dir/data/${pn(m.part_id)}.graft"))
+        try {
+          in.seek(m.offset)
+          val buf = new Array[Byte](m.length.toInt)
+          in.readFully(buf)
+          ChunkBuilder.open(unframeChunk(buf, m), table)
+        } finally in.close()
+      }
     }
   }
 

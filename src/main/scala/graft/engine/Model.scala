@@ -42,7 +42,12 @@ final case class EncodedChunk(
 final case class EncoderConfig(
     chunkTokens: Int = 1 << 20,
     maxRowsPerChunk: Int = 1 << 16,
-    numPartitions: Int = 0) { // 0 = keep upstream partitioning
+    numPartitions: Int = 0, // 0 = keep upstream partitioning
+    // serialized shared FSST table (Fsst.tableToBytes) for the doc_id meta
+    // section: trained once per TABLE, stored once (the lineage dir keeps it
+    // in _lineage/_shared_dict.bin), coded against by every chunk — a few KB
+    // captured into task closures, immutable after training
+    sharedMetaDict: Option[Array[Byte]] = None) {
   require(chunkTokens > 0 && maxRowsPerChunk > 0)
 }
 
@@ -54,6 +59,73 @@ final case class EncoderConfig(
   * so the bounds computation and the exact row filters must all use THIS
   * order or an emoji doc_id could be pruned away while the row filter would
   * have kept it. */
+/** The per-TABLE shared meta dictionary: an FSST symbol table (string-ish
+  * content) plus a smoothed order-1 Huffman model (front-coded id blobs —
+  * the measured winner: after front-coding, the O1 TABLE HEADER was the
+  * dominant per-chunk cost, not the data bits). Both trained once on a
+  * deterministic sample, stored once per lineage dir, coded against by
+  * every chunk's doc_id section (Fsst modes 10/11/14). Serialized
+  * [version=1][varint fsstLen][fsst][varint o1Len][o1 model]. */
+final class MetaDict(val fsst: graft.codec.Fsst.SymbolTable,
+                     val o1Model: Array[Byte])
+
+object MetaDict {
+  def train(blob: Array[Byte]): MetaDict =
+    new MetaDict(graft.codec.Fsst.train(blob),
+      graft.codec.HuffmanO1.trainModel(blob))
+
+  def toBytes(d: MetaDict): Array[Byte] = {
+    val f = graft.codec.Fsst.tableToBytes(d.fsst)
+    val bos = new java.io.ByteArrayOutputStream(f.length + d.o1Model.length + 12)
+    bos.write(1)
+    writeVarint(bos, f.length.toLong)
+    bos.write(f, 0, f.length)
+    writeVarint(bos, d.o1Model.length.toLong)
+    bos.write(d.o1Model, 0, d.o1Model.length)
+    bos.toByteArray
+  }
+
+  def fromBytes(b: Array[Byte]): MetaDict = {
+    if (b.isEmpty || b(0) != 1)
+      throw graft.codec.CorruptException("meta dict version")
+    val r = new graft.codec.Varint.Reader(b)
+    r.pos = 1
+    val fl = r.read().toInt
+    if (fl < 0 || r.pos + fl > b.length) throw graft.codec.TruncatedException
+    val f = java.util.Arrays.copyOfRange(b, r.pos, r.pos + fl)
+    r.pos += fl
+    val ol = r.read().toInt
+    if (ol < 0 || r.pos + ol > b.length) throw graft.codec.TruncatedException
+    val o = java.util.Arrays.copyOfRange(b, r.pos, r.pos + ol)
+    new MetaDict(graft.codec.Fsst.tableFromBytes(f), o)
+  }
+
+  private def writeVarint(bos: java.io.ByteArrayOutputStream, v0: Long): Unit = {
+    var v = v0
+    while ((v & ~0x7fL) != 0L) { bos.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+    bos.write(v.toInt)
+  }
+}
+
+/** Format-free deterministic 60-bit doc key: the first 15 hex chars of
+  * md5(doc_id) — a pure function of the FULL id string with no id-scheme
+  * assumptions, exactly expressible in both SQL dialects (Spark
+  * `conv(substring(md5(x),1,15),16,10)`, DuckDB
+  * `('0x'||substr(md5(x),1,15))::BIGINT`; 60 bits stays clear of signed
+  * overflow in both). Engine-side uses: deterministic sampling for the
+  * lineage shared-dict training; the query layer (split/pack/shared-dict
+  * sampling) delegates here so the key can never drift between layers. */
+object DocKey {
+  def of(docId: String): Long = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(docId.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (h(i) & 0xffL); i += 1 }
+    v >>> 4 // 16 hex chars read, keep the first 15 (60 bits, non-negative)
+  }
+}
+
 object Utf8Order {
   def bytes(s: String): Array[Byte] =
     s.getBytes(java.nio.charset.StandardCharsets.UTF_8)

@@ -23,14 +23,8 @@ object PackQueries {
     * dialects: Spark `conv(substring(md5(x),1,15),16,10)`, DuckDB
     * `('0x'||substr(md5(x),1,15))::BIGINT`. 60 bits stays clear of signed
     * overflow in both engines. */
-  private[queries] def docKey(docId: String): Long = {
-    val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(docId.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    var v = 0L
-    var i = 0
-    while (i < 8) { v = (v << 8) | (h(i) & 0xffL); i += 1 }
-    v >>> 4 // 16 hex chars read, keep the first 15 (60 bits, non-negative)
-  }
+  private[queries] def docKey(docId: String): Long =
+    graft.engine.DocKey.of(docId) // single definition — layers cannot drift
 
   /** The same key as a Column (codegen'd builtins, no UDF). */
   private def docKeyCol(c: org.apache.spark.sql.Column) =

@@ -2,10 +2,19 @@ package graft
 
 import graft.codec._
 
-/** Regenerates golden/rows.json — the exact-bytes regression fixture
-  * (FIXTURES.md §A "Golden fixtures", analog of the reference's hard-coded
-  * ciphertexts, test_ppmd7.py:10-19). Run CONSCIOUSLY after any framing
-  * change: sbt "Test/runMain graft.MakeGolden" */
+/** Regenerates the committed golden fixtures that pin engine-specific
+  * bytes. Run CONSCIOUSLY after any deliberate framing/meta-format change,
+  * then commit the fixtures with the code: sbt "Test/runMain graft.MakeGolden"
+  *
+  *  - golden/rows.json — exact-bytes token-frame regression fixture
+  *    (FIXTURES.md §A, analog of the reference's hard-coded ciphertexts,
+  *    test_ppmd7.py:10-19); validated by GoldenFixtureSpec.
+  *  - golden/codec_histogram_n5000.parquet — per-codec rows of
+  *    EngineQueries.codecHistogram at the driver's sf0.01 scale (5,000-row
+  *    corpus, FIXED 32-way partitioning => pure function of the corpus);
+  *    read by the DuckDB oracle twin and validated in-suite by
+  *    CodecHistogramFixtureSpec. Written as ONE parquet FILE — the twin's
+  *    read_parquet targets the bare path. */
 object MakeGolden {
   def rows: Seq[(String, Array[Int])] = Seq(
     "constant" -> Array.fill(64)(31337),
@@ -40,5 +49,25 @@ object MakeGolden {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("golden/rows.json"), out)
     println(out)
+    writeCodecHistogram("/root/repo/golden/codec_histogram_n5000.parquet")
+  }
+
+  def writeCodecHistogram(target: String): Unit = {
+    import org.apache.spark.sql.SaveMode
+    import org.apache.spark.sql.functions.col
+    val spark = SparkTestSession.spark
+    val df = graft.queries.EngineQueries
+      .codecHistogram(spark, "/root/testdata/sf0.01")
+      .filter(col("codec") =!= "_total")
+      .orderBy(col("codec"))
+      .coalesce(1)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-golden").toString
+    df.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .getOrElse(sys.error(s"no part file written under $tmp"))
+    java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(target),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    println(s"wrote $target")
   }
 }

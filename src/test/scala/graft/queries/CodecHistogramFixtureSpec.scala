@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions.col
   * the same parquet the DuckDB oracle twin reads. Drift in the codec
   * selector, chunk slicing, or meta format now fails HERE, in-suite, instead
   * of only in the driver's external correctness run. After a DELIBERATE
-  * format change, regenerate via `sbt "runMain graft.MakeGolden"` and commit
+  * format change, regenerate via `sbt "Test/runMain graft.MakeGolden"` and commit
   * the new fixture alongside the code. */
 class CodecHistogramFixtureSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
