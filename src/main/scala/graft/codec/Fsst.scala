@@ -382,7 +382,13 @@ object Fsst {
     * the decoder supplies the identical models. Emits the smallest of all
     * shared candidates AND the self-contained encode(), so badly matched
     * models can never inflate a section; decodeShared handles every case. */
-  def encodeShared(table: SymbolTable, o1Model: Array[Byte],
+  /** `dictFp`: CRC32 fingerprint of the SERIALIZED dictionary, stored in
+    * every shared frame and verified at decode. The frame CRC proves the
+    * frame is intact but says nothing about WHICH models it was coded
+    * against — decoding with the wrong (but internally valid) dictionary
+    * would otherwise produce silently wrong strings, the one failure mode
+    * the data path must never have. */
+  def encodeShared(table: SymbolTable, o1Model: Array[Byte], dictFp: Int,
                    data: Array[Byte]): Array[Byte] = {
     val inline = encode(data)
     var bestMode = -1
@@ -406,6 +412,8 @@ object Fsst {
     bos.write(MagicG); bos.write(MagicS)
     bos.write(bestMode)
     writeVarint(bos, data.length.toLong)
+    bos.write(dictFp & 0xff); bos.write((dictFp >>> 8) & 0xff)
+    bos.write((dictFp >>> 16) & 0xff); bos.write((dictFp >>> 24) & 0xff)
     bos.write(bestBody, 0, bestBody.length)
     val framed = bos.toByteArray
     val crc = new CRC32
@@ -416,9 +424,10 @@ object Fsst {
   }
 
   /** Decode a frame that MAY be shared-coded: modes 10/11/14 need the
-    * models; any other mode delegates to the self-contained decoder
-    * (encodeShared falls back to it when inline framing wins). */
-  def decodeShared(table: SymbolTable, o1Model: Array[Byte],
+    * models (and verify the stored dictionary fingerprint); any other mode
+    * delegates to the self-contained decoder (encodeShared falls back to
+    * it when inline framing wins). */
+  def decodeShared(table: SymbolTable, o1Model: Array[Byte], dictFp: Int,
                    bytes: Array[Byte]): Array[Byte] = {
     if (bytes.length < 7) throw TruncatedException
     if (bytes(0) != MagicG || bytes(1) != MagicS)
@@ -434,6 +443,13 @@ object Fsst {
     val r = new Varint.Reader(bytes, 3, end)
     val rawLen = r.read().toInt
     if (rawLen < 0) throw CorruptException("fsst raw length")
+    if (r.pos + 4 > end) throw TruncatedException
+    val storedFp = TokenCodec.readIntLE(bytes, r.pos)
+    r.pos += 4
+    if (storedFp != dictFp)
+      throw CorruptException(
+        s"shared-dict fingerprint mismatch: frame ${storedFp.toHexString} " +
+          s"vs supplied ${dictFp.toHexString} — wrong dictionary for this chunk")
     if (mode == 14)
       HuffmanO1.decodeBitsWithModel(o1Model, bytes, r.pos, end, rawLen)
     else if (table == null || table.symbols.isEmpty)

@@ -53,7 +53,8 @@ object ChunkBuilder {
     val dBlob = packStringsFront(docIds)
     val secD =
       if (sharedMeta != null)
-        Fsst.encodeShared(sharedMeta.fsst, sharedMeta.o1Model, dBlob)
+        Fsst.encodeShared(sharedMeta.fsst, sharedMeta.o1Model,
+          sharedMeta.fingerprint, dBlob)
       else Fsst.encode(dBlob)
 
     val meta = concatSections(secA, secB, secC, secD)
@@ -112,7 +113,8 @@ object ChunkBuilder {
     val srcDict = unpackStrings(Fsst.decode(sections(2)))
     val dBlob =
       if (sharedMeta != null)
-        Fsst.decodeShared(sharedMeta.fsst, sharedMeta.o1Model, sections(3))
+        Fsst.decodeShared(sharedMeta.fsst, sharedMeta.o1Model,
+          sharedMeta.fingerprint, sections(3))
       else Fsst.decode(sections(3))
     val docIds = unpackStringsAuto(dBlob)
     if (rowLens.length != c.n_rows || srcIdx.length != c.n_rows ||

@@ -67,7 +67,16 @@ final case class EncoderConfig(
   * every chunk's doc_id section (Fsst modes 10/11/14). Serialized
   * [version=1][varint fsstLen][fsst][varint o1Len][o1 model]. */
 final class MetaDict(val fsst: graft.codec.Fsst.SymbolTable,
-                     val o1Model: Array[Byte])
+                     val o1Model: Array[Byte]) {
+  /** CRC32 of the serialized form, stored in every shared frame and checked
+    * at decode: decoding against the WRONG (but internally valid)
+    * dictionary must fail typed, never produce silently wrong strings. */
+  lazy val fingerprint: Int = {
+    val c = new java.util.zip.CRC32
+    c.update(MetaDict.toBytes(this))
+    c.getValue.toInt
+  }
+}
 
 object MetaDict {
   def train(blob: Array[Byte]): MetaDict =

@@ -34,6 +34,11 @@ object DrivePlanAudit {
       AnnQueries.annIvf(spark, sf))
     show("dedup_embedding (banded guard: aggregate + left-semi, drop-frac " +
       "broadcast)", AnnQueries.dedupEmbedding(spark, sf))
+    show("q13_pivot (single-scan conditional aggregation)",
+      RelationalQueries.q13Pivot(spark, sf))
+    show("doc_compress_shared (train-once sample + broadcast table + " +
+      "partition-local code; the aggregate is the only shuffle)",
+      TextQueries.docCompressShared(spark, sf))
     spark.stop()
   }
 }

@@ -92,6 +92,24 @@ class SharedDictSpec extends AnyFunSuite {
     assert(chunks.map(c => ChunkBuilder.open(c, table).length).sum == 1500)
   }
 
+  test("decoding against the WRONG dictionary fails typed (fingerprint)") {
+    val ids = Array.tabulate(300)(i => f"doc-$i%012d")
+    val toks = Array.tabulate(300 * 10)(i => i % 50000)
+    val dictA = MetaDict.train(ChunkBuilder.packStringsFront(ids))
+    val dictB = MetaDict.train(ChunkBuilder.packStringsFront(
+      Array.tabulate(300)(i => f"row#${i * 977}%09x")))
+    val chunk = ChunkBuilder.build(0, 0, ids, Array.fill(300)("s"), toks,
+      Array.fill(300)(10), dictA)
+    assert(ChunkBuilder.open(chunk, dictA).length == 300)
+    // frame CRC passes (the frame is intact) — the dictionary PAIRING is
+    // what the fingerprint catches; silent wrong doc_ids would be the
+    // worst possible failure mode
+    val e = intercept[graft.codec.CorruptException] {
+      ChunkBuilder.open(chunk, dictB).toArray
+    }
+    assert(e.getMessage.contains("fingerprint"), e.getMessage)
+  }
+
   test("pre-r4 dirs (no dict file) still decode: legacy flat doc_id blobs") {
     // build a chunk the OLD way: flat packStrings section D, no shared table
     val ids = Array.tabulate(40)(i => f"doc-$i%012d")
