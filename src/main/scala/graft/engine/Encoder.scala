@@ -156,16 +156,20 @@ object Decoder {
     * predicates push into a parquet chunk-table scan, so a point/range
     * lookup reads the row groups of overlapping chunks only. */
   def decodeDocIdRange(chunks: Dataset[EncodedChunk], lo: String,
-                       hi: String): Dataset[SeqRow] = {
+                       hi: String): Dataset[SeqRow] =
+    decodeDocIdRange(chunks, lo, hi, None)
+
+  def decodeDocIdRange(chunks: Dataset[EncodedChunk], lo: String, hi: String,
+                       sharedDict: Option[Array[Byte]]): Dataset[SeqRow] = {
     import org.apache.spark.sql.functions.col
     val spark = chunks.sparkSession
     import spark.implicits._
     // same UTF-8 binary order as the pruning predicates (Utf8Order doc);
     // bound encodings hoisted out of the per-row path
     val inRange = Utf8Order.inRange(Utf8Order.bytes(lo), Utf8Order.bytes(hi)) _
-    chunks
-      .filter(col("max_doc_id") >= lo && col("min_doc_id") <= hi)
-      .flatMap(c => ChunkBuilder.open(c))
+    decodeTable(
+      chunks.filter(col("max_doc_id") >= lo && col("min_doc_id") <= hi),
+      sharedDict)
       .filter(r => inRange(r.doc_id))
   }
 
@@ -176,15 +180,20 @@ object Decoder {
     * any payload bytes are read; the TokenSketch then prunes in-range
     * chunks that don't hold the value). */
   def decodeContainingToken(chunks: Dataset[EncodedChunk],
-                            tok: Int): Dataset[SeqRow] = {
+                            tok: Int): Dataset[SeqRow] =
+    decodeContainingToken(chunks, tok, None)
+
+  def decodeContainingToken(chunks: Dataset[EncodedChunk], tok: Int,
+                            sharedDict: Option[Array[Byte]]): Dataset[SeqRow] = {
     import org.apache.spark.sql.functions.col
     val spark = chunks.sparkSession
     import spark.implicits._
-    chunks
-      .filter(col("min_tok") <= tok && col("max_tok") >= tok)
-      .filter((c: EncodedChunk) =>
-        TokenSketch.mightContain(c.tok_set, c.min_tok, tok))
-      .flatMap(c => ChunkBuilder.open(c))
+    decodeTable(
+      chunks
+        .filter(col("min_tok") <= tok && col("max_tok") >= tok)
+        .filter((c: EncodedChunk) =>
+          TokenSketch.mightContain(c.tok_set, c.min_tok, tok)),
+      sharedDict)
       .filter(_.tokens.contains(tok))
   }
 
