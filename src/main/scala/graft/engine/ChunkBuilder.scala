@@ -209,16 +209,23 @@ object ChunkBuilder {
   def unpackStringsFront(blob: Array[Byte]): Array[String] = {
     val r = new Varint.Reader(blob)
     r.pos = 1 // skip the 0x00 marker
-    val n = r.read().toInt
-    if (n < 0) throw CorruptException("front-coded blob count")
+    // ALL bounds in Long arithmetic with allocation caps derived from the
+    // blob itself: a garbled varint must become a typed Corrupt/Truncated,
+    // never an int-overflowed bounds pass, a NegativeArraySizeException, or
+    // a multi-GB allocation (the same contract as Huffman's count guard)
+    val nL = r.read()
+    if (nL < 0 || nL > blob.length) throw CorruptException("front-coded blob count")
+    val n = nL.toInt
     val out = new Array[String](n)
     var prev = Array.emptyByteArray
     var i = 0
     while (i < n) {
-      val p = r.read().toInt
-      val s = r.read().toInt
-      if (p < 0 || s < 0 || p > prev.length) throw CorruptException("front prefix")
-      if (r.pos + s > blob.length) throw TruncatedException
+      val pL = r.read()
+      val sL = r.read()
+      if (pL < 0 || pL > prev.length) throw CorruptException("front prefix")
+      if (sL < 0 || sL > blob.length.toLong - r.pos) throw TruncatedException
+      val p = pL.toInt
+      val s = sL.toInt
       val b = new Array[Byte](p + s)
       System.arraycopy(prev, 0, b, 0, p)
       System.arraycopy(blob, r.pos, b, p, s)

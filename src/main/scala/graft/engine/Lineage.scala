@@ -102,14 +102,14 @@ object Lineage {
         } else {
           val finalLen =
             if (fs.exists(dataFinal)) fs.getFileStatus(dataFinal).getLen else -1L
-          if (finalLen == offset) {
-            // A byte-identical data file is already in place: encode is
-            // deterministic and rename atomic, so ANY complete final file
-            // for this partition has exactly this length. NEVER delete it —
-            // the delete was the one step that could strand a concurrently
-            // committed manifest if this attempt dies mid-swap; reuse needs
-            // no rename at all. (A same-length file from a silently swapped
-            // input would be caught by the per-chunk CRC at decode.)
+          if (finalLen == offset && sameBytes(fs, dataFinal, dataTmp)) {
+            // A byte-identical data file is already in place (VERIFIED by
+            // content compare, not length alone — an orphan from a run with
+            // a different chunking could coincide on length): encode is
+            // deterministic, so this is a concurrent winner's (or a dead
+            // identical run's) output. NEVER delete it — the delete was the
+            // one step that could strand a concurrently committed manifest
+            // if this attempt dies mid-swap; reuse needs no rename at all.
             fs.delete(dataTmp, false): Unit
           } else {
             // ChecksumFileSystem/HDFS rename does NOT overwrite: clear
@@ -142,6 +142,46 @@ object Lineage {
     done.value
   }
 
+  /** Streaming byte-equality of two files (1 MB buffers). Only consulted in
+    * the rare reuse branch (a complete same-length final file already
+    * exists), where one read of the partition pays for never deleting a
+    * concurrent winner's committed bytes. */
+  private def sameBytes(fs: FileSystem, a: Path, b: Path): Boolean = {
+    val ia = fs.open(a)
+    val ib = fs.open(b)
+    try {
+      val ba = new Array[Byte](1 << 20)
+      val bb = new Array[Byte](1 << 20)
+      var same = true
+      var eof = false
+      while (same && !eof) {
+        val na = ia.read(ba)
+        var nb = 0
+        while (nb < na) { // match read sizes (short reads allowed)
+          val m = ib.read(bb, nb, na - nb)
+          if (m < 0) return false
+          nb += m
+        }
+        if (na < 0) eof = ib.read(bb) < 0
+        else same = java.util.Arrays.equals(ba, 0, na, bb, 0, na)
+      }
+      same
+    } catch { case _: java.io.IOException => false }
+    finally { ia.close(); ib.close() }
+  }
+
+  /** Read a small control file fully (shared dict, markers). */
+  private def readAll(fs: FileSystem, p: Path): Array[Byte] = {
+    val in = fs.open(p)
+    try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      bos.toByteArray
+    } finally in.close()
+  }
+
   /** Load-or-train the dir's shared meta dictionary
     * (`_lineage/_shared_dict.bin`). The FIRST committed run trains it from
     * the 4096 rows SMALLEST BY md5 DOC KEY — hash order makes that a
@@ -155,17 +195,7 @@ object Lineage {
   private def sharedDictFor(ds: Dataset[SeqRow], fs: FileSystem,
                             dir: String): Array[Byte] = {
     val dictPath = new Path(s"$dir/_lineage/_shared_dict.bin")
-    def readBytes(): Array[Byte] = {
-      val in = fs.open(dictPath)
-      try {
-        val bos = new java.io.ByteArrayOutputStream()
-        val buf = new Array[Byte](8192)
-        var n = in.read(buf)
-        while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
-        bos.toByteArray
-      } finally in.close()
-    }
-    if (fs.exists(dictPath)) return readBytes()
+    if (fs.exists(dictPath)) return readAll(fs, dictPath)
     val spark = ds.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.functions.col
@@ -187,7 +217,7 @@ object Lineage {
     // published first — read back the COMMITTED file either way, which is
     // what guarantees dir-wide consistency
     if (!fs.rename(tmp, dictPath)) fs.delete(tmp, false): Unit
-    readBytes()
+    readAll(fs, dictPath)
   }
 
   /** The dir's shared meta dictionary, if one was published (absent for
@@ -197,17 +227,7 @@ object Lineage {
     val fs = FileSystem.get(new java.net.URI(dir),
       spark.sparkContext.hadoopConfiguration)
     val p = new Path(s"$dir/_lineage/_shared_dict.bin")
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try {
-        val bos = new java.io.ByteArrayOutputStream()
-        val buf = new Array[Byte](8192)
-        var n = in.read(buf)
-        while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
-        Some(bos.toByteArray)
-      } finally in.close()
-    }
+    if (!fs.exists(p)) None else Some(readAll(fs, p))
   }
 
   /** Read the manifest (all partitions) as a Dataset. Prefers the compacted

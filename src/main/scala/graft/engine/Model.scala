@@ -99,13 +99,18 @@ object MetaDict {
       throw graft.codec.CorruptException("meta dict version")
     val r = new graft.codec.Varint.Reader(b)
     r.pos = 1
-    val fl = r.read().toInt
-    if (fl < 0 || r.pos + fl > b.length) throw graft.codec.TruncatedException
-    val f = java.util.Arrays.copyOfRange(b, r.pos, r.pos + fl)
-    r.pos += fl
-    val ol = r.read().toInt
-    if (ol < 0 || r.pos + ol > b.length) throw graft.codec.TruncatedException
-    val o = java.util.Arrays.copyOfRange(b, r.pos, r.pos + ol)
+    // Long-arithmetic bounds: _shared_dict.bin has no CRC of its own, so a
+    // garbled length varint must fail TYPED here, not as an int-overflow
+    // slipping into copyOfRange
+    val fl = r.read()
+    if (fl < 0 || fl > b.length.toLong - r.pos)
+      throw graft.codec.TruncatedException
+    val f = java.util.Arrays.copyOfRange(b, r.pos, r.pos + fl.toInt)
+    r.pos += fl.toInt
+    val ol = r.read()
+    if (ol < 0 || ol > b.length.toLong - r.pos)
+      throw graft.codec.TruncatedException
+    val o = java.util.Arrays.copyOfRange(b, r.pos, r.pos + ol.toInt)
     new MetaDict(graft.codec.Fsst.tableFromBytes(f), o)
   }
 

@@ -15,12 +15,24 @@ import org.apache.parquet.hadoop.util.HadoopInputFile
   * from a pre-pass over the input. */
 object TableMeta {
 
+  /** Default to the ACTIVE Spark session's hadoopConfiguration: any
+    * filesystem configured via spark.hadoop.* (S3 credentials, custom
+    * schemes — the 100 TB deployment) must resolve here too, or every
+    * footer read would silently fall back to the full-scan path this
+    * class exists to remove. */
+  private def sessionConf(): Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
+
   /** Row count of a parquet file or directory-of-files from footer metadata
     * only. Returns None when the path holds no parquet footers (missing
     * table, other format, unreadable) so callers can fall back to a count()
     * — fail open to the exact-but-expensive path, never wrong. */
-  def parquetRowCount(path: String,
-                      conf: Configuration = new Configuration()): Option[Long] = {
+  def parquetRowCount(path: String): Option[Long] =
+    parquetRowCount(path, sessionConf())
+
+  def parquetRowCount(path: String, conf: Configuration): Option[Long] = {
     try {
       val p = new Path(path)
       val fs = p.getFileSystem(conf)
@@ -47,9 +59,11 @@ object TableMeta {
     * (avg bytes per row = columnBytes / rowCount) before any data is read,
     * so a driver-side collect stays byte-bounded even on tables with very
     * wide values. None when unreadable — callers fall back to row caps. */
+  def parquetColumnBytes(path: String, column: String): Option[Long] =
+    parquetColumnBytes(path, column, sessionConf())
+
   def parquetColumnBytes(path: String, column: String,
-                         conf: Configuration = new Configuration())
-      : Option[Long] = {
+                         conf: Configuration): Option[Long] = {
     try {
       val p = new Path(path)
       val fs = p.getFileSystem(conf)

@@ -21,12 +21,25 @@ object EngineQueries {
     * 2,000-row default. (sf0.001 ships the same 500-doc table as sf0.01, so
     * both map to the 5,000-row corpus — the smoke run now exercises exactly
     * the correctness-gate scale.) */
-  def rowsForDir(dir: String): Long =
-    graft.io.TableMeta.parquetRowCount(s"$dir/documents.parquet")
-      .map(d => math.max(200L, 10L * d))
-      .orElse("""sf([0-9.]+)""".r.findFirstMatchIn(dir)
-        .map(g => math.max(200L, (g.group(1).toDouble * 500000).toLong)))
-      .getOrElse(2000L)
+  def rowsForDir(dir: String): Long = {
+    val cached = rowsCache.get(dir)
+    if (cached != null) cached.longValue()
+    else {
+      val v: Long = graft.io.TableMeta.parquetRowCount(s"$dir/documents.parquet")
+        .map(n => math.max(200L, 10L * n))
+        .orElse("""sf([0-9.]+)""".r.findFirstMatchIn(dir)
+          .map(g => math.max(200L, (g.group(1).toDouble * 500000).toLong)))
+        .getOrElse(2000L)
+      rowsCache.putIfAbsent(dir, java.lang.Long.valueOf(v))
+      v
+    }
+  }
+
+  // per-session memo: operators call rowsForDir several times per query and
+  // the footer listing is I/O; a corpus dir's size changing MID-session is
+  // outside the resume/oracle contract anyway (dirs are treated immutable)
+  private val rowsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
   private def cfgFor(s: SparkSession): EncoderConfig =
     EncoderConfig(chunkTokens = 1 << 18,

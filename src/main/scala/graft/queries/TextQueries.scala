@@ -64,7 +64,8 @@ object TextQueries {
     while (i < picked.length && blob.size() < budget) {
       if (i > 0) blob.write('\n')
       val b = picked(i)._2.getBytes("UTF-8")
-      blob.write(b, 0, math.min(b.length, (budget - blob.size()).toInt))
+      // min in LONG first: a >2 GB budget would wrap a bare .toInt negative
+      blob.write(b, 0, math.min(b.length.toLong, budget - blob.size()).toInt)
       i += 1
     }
     val table = graft.codec.Fsst.train(blob.toByteArray)

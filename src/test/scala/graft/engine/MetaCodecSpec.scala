@@ -46,8 +46,12 @@ class MetaCodecSpec extends AnyFunSuite with GenChecks {
         r match {
           case Some(_) => ()
           case None =>
+            // a structurally-valid truncation may decode, but then it must
+            // be an exact element-wise PREFIX of the original — never rows
+            // silently dropped from the middle or mangled content
             val got = ChunkBuilder.unpackStringsAuto(cut)
             assert(got.length <= ids.length)
+            got.zip(ids).foreach { case (g, o) => assert(g == o) }
         }
       }
     }
