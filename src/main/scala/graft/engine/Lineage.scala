@@ -352,6 +352,53 @@ object Lineage {
       .filter(m => TokenSketch.mightContain(m.tok_set, m.min_tok, tok))
   }
 
+  // ---- batch trees (streaming sink layout: root/batch=N/{data,_lineage}) ----
+
+  /** The lineage subdirs of a streaming batch tree, in batch order. A dir
+    * qualifies by CONTENT (it has a _lineage dir), not by name — manual
+    * layouts compose too. */
+  def batchDirs(spark: SparkSession, root: String): Seq[String] = {
+    val fs = FileSystem.get(new java.net.URI(root),
+      spark.sparkContext.hadoopConfiguration)
+    val p = new Path(root)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
+      .filter(d => fs.exists(new Path(d, "_lineage")))
+      .map(_.toString).sorted.toSeq
+  }
+
+  /** Decode an entire streaming batch tree as ONE Dataset. Each subdir
+    * resolves its own manifest and shared dictionary, so mixed-era and
+    * mixed-dictionary batches compose; the union is lazy (one Spark plan,
+    * chunks of every batch decode in parallel). */
+  def decodeBatchTree(spark: SparkSession, root: String): Dataset[SeqRow] = {
+    import spark.implicits._
+    batchDirs(spark, root).map(d => decodeFromDir(spark, d))
+      .reduceOption(_ union _)
+      .getOrElse(spark.emptyDataset[SeqRow])
+  }
+
+  /** Zone-map pruned tree decode: each batch prunes on its own manifest
+    * before any payload read — a point lookup over a year of micro-batches
+    * touches a handful of chunks per batch at most. */
+  def decodeDocIdRangeTree(spark: SparkSession, root: String, lo: String,
+                           hi: String): Dataset[SeqRow] = {
+    import spark.implicits._
+    batchDirs(spark, root).map(d => decodeDocIdRange(spark, d, lo, hi))
+      .reduceOption(_ union _)
+      .getOrElse(spark.emptyDataset[SeqRow])
+  }
+
+  /** Containment-pruned tree decode (min/max zone map + TokenSketch per
+    * batch manifest). */
+  def decodeContainingTokenTree(spark: SparkSession, root: String,
+                                tok: Int): Dataset[SeqRow] = {
+    import spark.implicits._
+    batchDirs(spark, root).map(d => decodeContainingToken(spark, d, tok))
+      .reduceOption(_ union _)
+      .getOrElse(spark.emptyDataset[SeqRow])
+  }
+
   private def decodeManifest(spark: SparkSession, dir: String,
                              manifest: Dataset[ManifestRow]): Dataset[SeqRow] = {
     import spark.implicits._

@@ -1,0 +1,43 @@
+package graft.engine
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming-sink batch trees (root/batch=N/...) read back as ONE table,
+  * with per-batch manifests, shared dictionaries, and pruning intact. */
+class BatchTreeSpec extends AnyFunSuite {
+  private lazy val spark = graft.SparkTestSession.spark
+
+  test("batch tree decodes as one dataset; pruned variants compose") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-tree").toString
+    val cfg = EncoderConfig(chunkTokens = 1 << 10, numPartitions = 2)
+    def rows(batch: Int): Seq[SeqRow] = (0 until 400).map { i =>
+      val tok = batch * 100000 + i // disjoint token bands per batch
+      SeqRow(f"doc-$batch%02d-$i%08d", Array(tok, tok + 7), 2, "s")
+    }
+    val all = (0 until 3).flatMap(rows)
+    (0 until 3).foreach { b =>
+      Lineage.encodeToDir(spark.createDataset(rows(b)),
+        f"$root/batch=$b%05d", cfg)
+    }
+    assert(Lineage.batchDirs(spark, root).size == 3)
+    // whole-tree decode = union of the batches, bit-identical
+    val back = Lineage.decodeBatchTree(spark, root).collect()
+      .map(r => r.doc_id -> r).toMap
+    assert(back.size == all.size)
+    all.foreach(r => assert(back(r.doc_id).tokens.sameElements(r.tokens)))
+    // containment probe: token band 1 lives only in batch 1
+    val probe = 100000 + 42
+    val hit = Lineage.decodeContainingTokenTree(spark, root, probe).collect()
+    // rows 42 (first token) and 35 (second token, 100035+7) both hold it
+    assert(hit.map(_.doc_id).sorted.toSeq ==
+      Seq("doc-01-00000035", "doc-01-00000042"))
+    // doc_id range across the tree
+    val ranged = Lineage.decodeDocIdRangeTree(spark, root,
+      "doc-02-00000010", "doc-02-00000014").collect()
+    assert(ranged.map(_.doc_id).sorted.toSeq ==
+      (10 to 14).map(i => f"doc-02-$i%08d"))
+    // empty/missing roots yield empty datasets, not errors
+    assert(Lineage.decodeBatchTree(spark, s"$root/nope").count() == 0)
+  }
+}
