@@ -389,6 +389,11 @@ object Lineage {
       .getOrElse(spark.emptyDataset[SeqRow])
   }
 
+  /** Compact every batch's JSON manifest to parquet (tree-wide; idempotent).
+    * Returns the total lineage partitions covered. */
+  def compactBatchTree(spark: SparkSession, root: String): Long =
+    batchDirs(spark, root).map(d => compactManifest(spark, d)).sum
+
   /** Containment-pruned tree decode (min/max zone map + TokenSketch per
     * batch manifest). */
   def decodeContainingTokenTree(spark: SparkSession, root: String,

@@ -39,5 +39,8 @@ class BatchTreeSpec extends AnyFunSuite {
       (10 to 14).map(i => f"doc-02-$i%08d"))
     // empty/missing roots yield empty datasets, not errors
     assert(Lineage.decodeBatchTree(spark, s"$root/nope").count() == 0)
+    // tree-wide manifest compaction: all 3x2 partitions, decode unchanged
+    assert(Lineage.compactBatchTree(spark, root) == 6L)
+    assert(Lineage.decodeBatchTree(spark, root).count() == all.size.toLong)
   }
 }

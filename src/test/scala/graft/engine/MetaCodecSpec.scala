@@ -87,6 +87,36 @@ class MetaCodecSpec extends AnyFunSuite with GenChecks {
     }
   }
 
+  test("shared-frame mutations and truncations terminate loud, never wrong") {
+    val dict = MetaDict.train(ChunkBuilder.packStringsFront(
+      Array.tabulate(400)(i => f"doc-$i%012d")))
+    val blob = ChunkBuilder.packStringsFront(
+      Array.tabulate(200)(i => f"doc-${i * 3}%012d"))
+    val enc = graft.codec.Fsst.encodeShared(dict.fsst, dict.o1Model,
+      dict.fingerprint, blob)
+    assert(enc(2) == 10 || enc(2) == 11 || enc(2) == 14) // shared mode won
+    val rng = new scala.util.Random(42)
+    (0 until 400).foreach { _ =>
+      val bad = enc.clone()
+      val at = rng.nextInt(bad.length)
+      bad(at) = (bad(at) ^ (1 << rng.nextInt(8))).toByte
+      try {
+        graft.codec.Fsst.decodeShared(dict.fsst, dict.o1Model,
+          dict.fingerprint, bad)
+        fail(s"bit flip at $at decoded despite the frame CRC")
+      } catch {
+        case _: graft.codec.CorruptException        => ()
+        case graft.codec.TruncatedException         => ()
+      }
+    }
+    (0 until enc.length).foreach { cut =>
+      intercept[Exception] {
+        graft.codec.Fsst.decodeShared(dict.fsst, dict.o1Model,
+          dict.fingerprint, java.util.Arrays.copyOf(enc, cut))
+      }
+    }
+  }
+
   test("MetaDict serialization roundtrips; garbled bytes fail typed") {
     val d = MetaDict.train(ChunkBuilder.packStringsFront(
       Array.tabulate(300)(i => f"doc-$i%012d")))
