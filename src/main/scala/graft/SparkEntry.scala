@@ -25,6 +25,7 @@ object SparkEntry {
     "encode_docs" -> (EngineQueries.encodeDocs _),
     "codec_histogram" -> (EngineQueries.codecHistogram _),
     "lineage_roundtrip" -> (EngineQueries.lineageRoundtrip _),
+    "graft_source" -> (EngineQueries.graftSource _),
     "encode_expr" -> (EngineQueries.encodeExpr _),
     "token_stats" -> (EngineQueries.tokenStats _),
     "source_distinct_tokens" -> (EngineQueries.sourceDistinctTokens _),
@@ -101,6 +102,9 @@ object SparkEntry {
     "encode_roundtrip" -> EngineQueries.encodeRoundtripSql,
     "encode_docs" -> EngineQueries.encodeDocsSql,
     "lineage_roundtrip" -> EngineQueries.lineageRoundtripSql,
+    // the DSv2 format("graft") read path: rollup recomputed by DuckDB from
+    // the materialized corpus — column-pruned source scan in the hard channel
+    "graft_source" -> EngineQueries.graftSourceSql,
     "seq_split" -> PackQueries.seqSplitSql,
     "seq_len_hist" -> PackQueries.seqLenHistSql,
     // packing is a sequential fold (not ANSI-SQL-expressible): pinned by an

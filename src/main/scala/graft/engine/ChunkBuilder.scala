@@ -141,6 +141,33 @@ object ChunkBuilder {
     }
   }
 
+  /** All three side columns — (doc_id, n_tok, source) — WITHOUT decoding
+    * the token payload: the column-pruned read path. A rollup or id scan
+    * over a 100 TB table reads the few-KB meta sections of each chunk and
+    * never touches the compressed tokens. */
+  def openSide(c: EncodedChunk,
+               sharedMeta: MetaDict): Iterator[(String, Int, String)] = {
+    val sections = splitSections(c.meta, 4)
+    val rowLens = TokenCodec.decodeOrThrow(sections(0))
+    val srcIdx = TokenCodec.decodeOrThrow(sections(1))
+    val srcDict = unpackStrings(Fsst.decode(sections(2)))
+    val dBlob =
+      if (sharedMeta != null)
+        Fsst.decodeShared(sharedMeta.fsst, sharedMeta.o1Model,
+          sharedMeta.fingerprint, sections(3))
+      else Fsst.decode(sections(3))
+    val docIds = unpackStringsAuto(dBlob)
+    if (rowLens.length != c.n_rows || srcIdx.length != c.n_rows ||
+        docIds.length != c.n_rows)
+      throw CorruptException(s"chunk ${c.chunk_id}: row count mismatch")
+    (0 until c.n_rows).iterator.map { i =>
+      val si = srcIdx(i)
+      if (si < 0 || si >= srcDict.length)
+        throw CorruptException(s"chunk ${c.chunk_id}: source index")
+      (docIds(i), rowLens(i), srcDict(si))
+    }
+  }
+
   /** Decode only the side metadata (source, n_tok per row) without touching
     * the token payload — rollups/reports read this, not the data. */
   def openMeta(c: EncodedChunk): Iterator[(String, Int)] = {

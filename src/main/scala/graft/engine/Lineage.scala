@@ -404,6 +404,24 @@ object Lineage {
       .getOrElse(spark.emptyDataset[SeqRow])
   }
 
+  /** Single-chunk fetch: seek to a manifest row's frame and unframe it.
+    * Public for external readers (the `format("graft")` DSv2 source). */
+  def readChunk(conf: Configuration, dir: String, m: ManifestRow): EncodedChunk = {
+    val fs = FileSystem.get(new java.net.URI(dir), conf)
+    val in = fs.open(new Path(s"$dir/data/${pn(m.part_id)}.graft"))
+    try {
+      in.seek(m.offset)
+      val buf = new Array[Byte](m.length.toInt)
+      in.readFully(buf)
+      unframeChunk(buf, m)
+    } finally in.close()
+  }
+
+  /** The dir's serialized shared meta dictionary, if published — public for
+    * external readers that open chunks themselves. */
+  def sharedDictBytes(spark: SparkSession, dir: String): Option[Array[Byte]] =
+    loadSharedDict(spark, dir)
+
   private def decodeManifest(spark: SparkSession, dir: String,
                              manifest: Dataset[ManifestRow]): Dataset[SeqRow] = {
     import spark.implicits._
@@ -414,16 +432,7 @@ object Lineage {
       // models rebuilt once per task (bucket construction is the cost);
       // inline-framed sections of mixed-era dirs decode through them too
       val table = dict.map(MetaDict.fromBytes).orNull
-      ms.flatMap { m =>
-        val fs = FileSystem.get(new java.net.URI(dir), hconf.value)
-        val in = fs.open(new Path(s"$dir/data/${pn(m.part_id)}.graft"))
-        try {
-          in.seek(m.offset)
-          val buf = new Array[Byte](m.length.toInt)
-          in.readFully(buf)
-          ChunkBuilder.open(unframeChunk(buf, m), table)
-        } finally in.close()
-      }
+      ms.flatMap(m => ChunkBuilder.open(readChunk(hconf.value, dir, m), table))
     }
   }
 

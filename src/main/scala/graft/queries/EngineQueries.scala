@@ -306,6 +306,37 @@ object EngineQueries {
       .withColumn("expected_rows", lit(n))
   }
 
+  /** The DSv2 `format("graft")` source through the hard channel: encode the
+    * corpus to a lineage dir (shared meta dictionary and all), read it back
+    * as a first-class Spark source, and roll up per source WITHOUT selecting
+    * tokens — the column-pruned path, which decodes only the few-KB meta
+    * sections and never touches a compressed payload. Oracled: DuckDB
+    * recomputes the identical rollup (counts, token sums, id bounds) from
+    * the materialized corpus parquet. */
+  def graftSource(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n = math.min(rowsForDir(dir), 5000L)
+    val ds = graft.io.CorpusTable.table(s, n)
+      .select(col("doc_id"), col("tokens"), col("n_tok"), col("source"))
+      .as[SeqRow]
+    val out = java.nio.file.Files.createTempDirectory("graft-dsv2-q").toString
+    Lineage.encodeToDir(ds, out,
+      EncoderConfig(chunkTokens = 1 << 17, numPartitions = 4))
+    s.read.format("graft").load(out)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("n_tok").cast("long")).as("n_tokens"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"))
+      .orderBy(col("source"))
+  }
+
+  val graftSourceSql: String =
+    """SELECT source, count(*) AS n_rows, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+      |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+      |FROM read_parquet('/root/repo/data/oracle/corpus_n5000.parquet/*.parquet')
+      |GROUP BY source ORDER BY source""".stripMargin
+
   val lineageRoundtripSql: String =
     """SELECT CAST(sum(n_tok) AS BIGINT) AS n_tokens,
       |  CAST(4 AS BIGINT) AS partitions_first_run,

@@ -1,0 +1,92 @@
+package graft.spark
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
+import graft.engine.{EncoderConfig, Lineage, SeqRow}
+
+/** The `format("graft")` DataSourceV2 reader over lineage dirs. */
+class GraftSourceSpec extends AnyFunSuite {
+  private lazy val spark = graft.SparkTestSession.spark
+
+  private lazy val (dir, rows) = {
+    val rs = (0 until 1500).map { i =>
+      SeqRow(f"doc-$i%08d", Array.tabulate(12)(t => (i * 13 + t) % 50000), 12,
+        if (i % 5 == 0) "books" else "web")
+    }
+    val d = java.nio.file.Files.createTempDirectory("graft-dsv2").toString
+    import spark.implicits._
+    Lineage.encodeToDir(spark.createDataset(rs), d,
+      EncoderConfig(chunkTokens = 1 << 11, numPartitions = 3))
+    (d, rs)
+  }
+
+  test("load() roundtrips the table bit-identically through SQL") {
+    val df = spark.read.format("graft").load(dir)
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("doc_id", "tokens", "n_tok", "source"))
+    val got = df.collect().map(r =>
+      r.getString(0) -> ((r.getSeq[Int](1), r.getInt(2), r.getString(3)))).toMap
+    assert(got.size == rows.size)
+    rows.foreach { r =>
+      val (toks, n, src) = got(r.doc_id)
+      assert(toks == r.tokens.toSeq && n == r.n_tok && src == r.source)
+    }
+    // usable from SQL like any table
+    df.createOrReplaceTempView("graft_t")
+    val cnt = spark.sql(
+      "SELECT source, count(*) n FROM graft_t GROUP BY source ORDER BY source")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cnt == Map("books" -> 300L, "web" -> 1200L))
+  }
+
+  test("doc_id predicates prune chunks at PLANNING time (zone map)") {
+    val df = spark.read.format("graft").load(dir)
+    val total = df.rdd.getNumPartitions // one partition per chunk
+    val m = Lineage.readManifest(spark, dir).collect()
+    assert(total == m.length && total > 3)
+    val probe = "doc-00000042"
+    val expectChunks = m.count(r =>
+      r.min_doc_id <= probe && r.max_doc_id >= probe)
+    val filtered = df.filter(col("doc_id") === probe)
+    assert(filtered.rdd.getNumPartitions == expectChunks,
+      s"${filtered.rdd.getNumPartitions} partitions planned, " +
+        s"zone map admits $expectChunks")
+    assert(expectChunks < total, "probe must actually prune")
+    assert(filtered.collect().map(_.getString(0)).toSeq == Seq(probe))
+    // range pushdown too
+    val ranged = df.filter(col("doc_id") >= "doc-00001490")
+    assert(ranged.rdd.getNumPartitions < total)
+    assert(ranged.count() == 10)
+  }
+
+  test("column pruning has teeth: payload is never decoded when unselected") {
+    // corrupt one byte INSIDE the first chunk's token payload on disk
+    val m = Lineage.readManifest(spark, dir).collect().minBy(_.offset)
+    val dataFile = java.nio.file.Paths.get(dir,
+      f"data/part-${m.part_id}%05d.graft")
+    val bytes = java.nio.file.Files.readAllBytes(dataFile)
+    val at = m.offset.toInt + 10 // past the frame varint, inside the payload
+    bytes(at) = (bytes(at) ^ 0x40).toByte
+    java.nio.file.Files.write(dataFile, bytes)
+    // drop Hadoop's OWN checksum sidecar (we mutated behind its back; the
+    // point here is the ENGINE's payload CRC, not ChecksumFileSystem's)
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir,
+      f"data/.part-${m.part_id}%05d.graft.crc"))
+    try {
+      val df = spark.read.format("graft").load(dir)
+      // side-column projection never touches the payload -> still works
+      val sides = df.select("doc_id", "n_tok", "source")
+        .filter(col("source") === "books").count()
+      assert(sides == 300L)
+      // even count() never touches payloads (aggregates prune every column)
+      assert(df.count() == 1500L)
+      // but materializing tokens MUST hit the payload CRC and fail loudly
+      intercept[org.apache.spark.SparkException] {
+        df.select("tokens").collect()
+      }
+    } finally {
+      bytes(at) = (bytes(at) ^ 0x40).toByte // restore for other tests
+      java.nio.file.Files.write(dataFile, bytes)
+    }
+  }
+}
