@@ -69,77 +69,103 @@ object Lineage {
     arranged.foreachPartition { (it: Iterator[SeqRow]) =>
       val pid = TaskContext.getPartitionId()
       val fs = FileSystem.get(new java.net.URI(dir), hconf.value)
-      val manifest = new Path(s"$dir/_lineage/${pn(pid)}.json")
-      if (!fs.exists(manifest)) { // resume: skip completed partitions
-        // Temp names carry the task attempt id: with speculative execution
-        // or a zombie retry, two attempts of the same partition must never
-        // interleave writes into one temp file. Rename stays the commit
-        // point; the loser's rename fails or is skipped by the manifest
-        // check, and its orphaned temp is inert.
-        val attempt = TaskContext.get.taskAttemptId()
-        val dataTmp = new Path(s"$dir/data/${pn(pid)}.graft.inprogress-$attempt")
-        val dataFinal = new Path(s"$dir/data/${pn(pid)}.graft")
-        val out = fs.create(dataTmp, true)
-        val rows = new scala.collection.mutable.ArrayBuffer[ManifestRow]()
-        var offset = 0L
-        Encoder.chunkIterator(it, pid, cfgEnc).foreach { c =>
-          val rec = frameChunk(c)
-          out.write(rec)
-          rows += ManifestRow(c.part_id, c.seq, c.chunk_id, c.codec, c.n_rows,
-            c.n_tokens, c.raw_bytes, c.enc_bytes, c.crc32, offset,
-            rec.length.toLong, c.min_doc_id, c.max_doc_id, c.min_tok,
-            c.max_tok, c.tok_set)
-          offset += rec.length
-        }
-        out.close()
-        // Re-check the commit point IMMEDIATELY before touching dataFinal: a
-        // losing speculative/zombie attempt that passed the entry check may
-        // only reach here after the winner committed data+manifest — deleting
-        // the committed data file would strand a manifest pointing at
-        // nothing. The loser discards its own temp and walks away.
-        if (fs.exists(manifest)) {
-          fs.delete(dataTmp, false): Unit
-        } else {
-          val finalLen =
-            if (fs.exists(dataFinal)) fs.getFileStatus(dataFinal).getLen else -1L
-          if (finalLen == offset && sameBytes(fs, dataFinal, dataTmp)) {
-            // A byte-identical data file is already in place (VERIFIED by
-            // content compare, not length alone — an orphan from a run with
-            // a different chunking could coincide on length): encode is
-            // deterministic, so this is a concurrent winner's (or a dead
-            // identical run's) output. NEVER delete it — the delete was the
-            // one step that could strand a concurrently committed manifest
-            // if this attempt dies mid-swap; reuse needs no rename at all.
-            fs.delete(dataTmp, false): Unit
-          } else {
-            // ChecksumFileSystem/HDFS rename does NOT overwrite: clear
-            // leftovers from a run that died between data-rename and
-            // manifest-commit (length mismatch => partial-config orphan,
-            // never a commit-complete file).
-            if (finalLen >= 0) fs.delete(dataFinal, false)
-            if (!fs.rename(dataTmp, dataFinal))
-              throw new java.io.IOException(s"rename failed: $dataTmp -> $dataFinal")
-          }
-          // Re-check once more before the manifest commit: the winner may
-          // have committed while this attempt handled the data file. Rename
-          // no-overwrite is the final fence — losing it to an existing
-          // manifest is a benign outcome, not an error.
-          if (fs.exists(manifest)) {
-            () // committed by another attempt; identical bytes already live
-          } else {
-            val mTmp = new Path(s"$dir/_lineage/${pn(pid)}.json.inprogress-$attempt")
-            val mOut = fs.create(mTmp, true)
-            rows.foreach { r => mOut.write((manifestJson(r) + "\n").getBytes("UTF-8")) }
-            mOut.close()
-            if (!fs.rename(mTmp, manifest)) { // commit point
-              if (fs.exists(manifest)) fs.delete(mTmp, false): Unit
-              else throw new java.io.IOException(s"rename failed: $mTmp -> $manifest")
-            } else done.add(1L)
-          }
-        }
+      val committer = new PartitionCommitter(fs, dir, pid,
+        TaskContext.get.taskAttemptId())
+      if (!committer.alreadyDone) { // resume: skip completed partitions
+        Encoder.chunkIterator(it, pid, cfgEnc).foreach(committer.add)
+        if (committer.commit()) done.add(1L)
       }
     }
     done.value
+  }
+
+  /** The per-partition atomic data+manifest commit protocol, shared by
+    * encodeToDir and the DSv2 sink — exactly ONE copy of the delicate
+    * dance. Temp names carry the task attempt id so speculative/zombie
+    * attempts never interleave writes into one temp file; the manifest
+    * rename is the commit point; a loser discards its temp and walks away.
+    * Usage: check alreadyDone, add() every chunk, then commit() exactly
+    * once (or abort() on failure). */
+  private[graft] final class PartitionCommitter(fs: FileSystem, dir: String,
+                                                pid: Int, attempt: Long) {
+    private val manifest = new Path(s"$dir/_lineage/${pn(pid)}.json")
+    private val dataTmp =
+      new Path(s"$dir/data/${pn(pid)}.graft.inprogress-$attempt")
+    private val dataFinal = new Path(s"$dir/data/${pn(pid)}.graft")
+    private val rows = new scala.collection.mutable.ArrayBuffer[ManifestRow]()
+    private var offset = 0L
+    private var out: org.apache.hadoop.fs.FSDataOutputStream = _
+
+    def alreadyDone: Boolean = fs.exists(manifest)
+
+    def add(c: EncodedChunk): Unit = {
+      if (out == null) out = fs.create(dataTmp, true)
+      val rec = frameChunk(c)
+      out.write(rec)
+      rows += ManifestRow(c.part_id, c.seq, c.chunk_id, c.codec, c.n_rows,
+        c.n_tokens, c.raw_bytes, c.enc_bytes, c.crc32, offset,
+        rec.length.toLong, c.min_doc_id, c.max_doc_id, c.min_tok,
+        c.max_tok, c.tok_set)
+      offset += rec.length
+    }
+
+    def abort(): Unit = {
+      if (out != null) out.close()
+      fs.delete(dataTmp, false): Unit
+    }
+
+    /** Returns true iff THIS attempt committed the manifest. */
+    def commit(): Boolean = {
+      if (out == null) out = fs.create(dataTmp, true) // empty partition: 0 chunks
+      out.close()
+      // Re-check the commit point IMMEDIATELY before touching dataFinal: a
+      // losing speculative/zombie attempt that passed the entry check may
+      // only reach here after the winner committed data+manifest — deleting
+      // the committed data file would strand a manifest pointing at
+      // nothing. The loser discards its own temp and walks away.
+      if (fs.exists(manifest)) {
+        fs.delete(dataTmp, false): Unit
+        return false
+      }
+      val finalLen =
+        if (fs.exists(dataFinal)) fs.getFileStatus(dataFinal).getLen else -1L
+      if (finalLen == offset && sameBytes(fs, dataFinal, dataTmp)) {
+        // A byte-identical data file is already in place (VERIFIED by
+        // content compare, not length alone — an orphan from a run with a
+        // different chunking could coincide on length): encode is
+        // deterministic, so this is a concurrent winner's (or a dead
+        // identical run's) output. NEVER delete it — the delete was the one
+        // step that could strand a concurrently committed manifest if this
+        // attempt dies mid-swap; reuse needs no rename at all.
+        fs.delete(dataTmp, false): Unit
+      } else {
+        // ChecksumFileSystem/HDFS rename does NOT overwrite: clear
+        // leftovers from a run that died between data-rename and
+        // manifest-commit (length mismatch => partial-config orphan,
+        // never a commit-complete file).
+        if (finalLen >= 0) fs.delete(dataFinal, false)
+        if (!fs.rename(dataTmp, dataFinal))
+          throw new java.io.IOException(s"rename failed: $dataTmp -> $dataFinal")
+      }
+      // Re-check once more before the manifest commit: the winner may have
+      // committed while this attempt handled the data file. Rename
+      // no-overwrite is the final fence — losing it to an existing manifest
+      // is a benign outcome, not an error.
+      if (fs.exists(manifest)) {
+        false // committed by another attempt; identical bytes already live
+      } else {
+        val mTmp = new Path(s"$dir/_lineage/${pn(pid)}.json.inprogress-$attempt")
+        val mOut = fs.create(mTmp, true)
+        rows.foreach { r =>
+          mOut.write((manifestJson(r) + "\n").getBytes("UTF-8"))
+        }
+        mOut.close()
+        if (!fs.rename(mTmp, manifest)) { // commit point
+          if (fs.exists(manifest)) { fs.delete(mTmp, false): Unit; false }
+          else throw new java.io.IOException(s"rename failed: $mTmp -> $manifest")
+        } else true
+      }
+    }
   }
 
   /** Streaming byte-equality of two files (1 MB buffers). Only consulted in

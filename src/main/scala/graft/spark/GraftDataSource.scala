@@ -6,16 +6,17 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, UnsafeArrayData}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.SerializableConfiguration
 
-import graft.engine.{ChunkBuilder, Lineage, MetaDict}
+import graft.engine.{ChunkBuilder, EncoderConfig, Lineage, MetaDict, SeqRow}
 
 /** `spark.read.format("graft").load(dir)` — a DataSourceV2 reader over a
   * lineage table dir, making the engine's storage a first-class Spark
@@ -56,13 +57,17 @@ object GraftTable {
     StructField("source", StringType, nullable = false)))
 }
 
-class GraftTable(path: String) extends Table with SupportsRead {
+class GraftTable(path: String) extends Table
+    with SupportsRead with SupportsWrite {
   override def name(): String = s"graft:$path"
   override def schema(): StructType = GraftTable.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(path)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(path, info)
 }
 
 class GraftScanBuilder(path: String) extends ScanBuilder
@@ -137,6 +142,133 @@ class GraftReaderFactory(conf: SerializableConfiguration,
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new GraftPartitionReader(conf.value, p.asInstanceOf[GraftInputPartition],
       required)
+}
+
+// ---- write path ------------------------------------------------------------
+
+/** `df.write.format("graft").mode("append"|"overwrite").save(dir)` — the
+  * sink half of the source above, riding the SAME atomic per-partition
+  * commit protocol as Lineage.encodeToDir (one copy of the delicate dance:
+  * Lineage.PartitionCommitter). Semantics:
+  *  - rows are chunked AS PARTITIONED (the sink never reshuffles — encode
+  *    where the data lives; repartition deterministically upstream if you
+  *    want resume-sound partition membership);
+  *  - append mode resumes: partitions whose manifest exists are skipped;
+  *  - overwrite truncates the table dir first (driver-side, once);
+  *  - an already-published shared meta dictionary is honored; fresh dirs
+  *    write self-contained chunks;
+  *  - `option("chunkTokens", n)` tunes the chunk budget. */
+class GraftWriteBuilder(path: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = {
+    val chunkTokens = Option(info.options.get("chunktokens"))
+      .map(_.toInt).getOrElse(1 << 20)
+    new GraftWrite(path, info.schema(), doTruncate, chunkTokens)
+  }
+}
+
+class GraftWrite(path: String, inputSchema: StructType, doTruncate: Boolean,
+                 chunkTokens: Int) extends Write with BatchWrite {
+  override def toBatch: BatchWrite = this
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    require(inputSchema.fieldNames.toSeq == GraftTable.Schema.fieldNames.toSeq,
+      s"graft sink needs columns [${GraftTable.Schema.fieldNames.mkString(", ")}], " +
+        s"got [${inputSchema.fieldNames.mkString(", ")}]")
+    val spark = SparkSession.active
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+    import org.apache.hadoop.fs.Path
+    if (doTruncate) {
+      fs.delete(new Path(s"$path/data"), true)
+      fs.delete(new Path(s"$path/_lineage"), true)
+      fs.delete(new Path(s"$path/_manifest_parquet"), true)
+      fs.delete(new Path(s"$path/_manifest_parquet.count"), false)
+    }
+    fs.mkdirs(new Path(s"$path/data"))
+    fs.mkdirs(new Path(s"$path/_lineage"))
+    val dict = Lineage.sharedDictBytes(spark, path)
+    new GraftWriterFactory(path,
+      new SerializableConfiguration(spark.sparkContext.hadoopConfiguration),
+      dict, chunkTokens)
+  }
+  // per-partition commits are already durable+atomic (manifest renames);
+  // the job-level commit has nothing left to do, and failed jobs leave
+  // only committed partitions — exactly the resume contract
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+case class GraftCommitMessage(pid: Int, committed: Boolean)
+    extends WriterCommitMessage
+
+class GraftWriterFactory(dir: String, conf: SerializableConfiguration,
+                         dict: Option[Array[Byte]], chunkTokens: Int)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+                            taskId: Long): DataWriter[InternalRow] =
+    new GraftDataWriter(dir, conf.value, partitionId, taskId, dict,
+      chunkTokens)
+}
+
+class GraftDataWriter(dir: String, conf: Configuration, pid: Int,
+                      taskId: Long, dictBytes: Option[Array[Byte]],
+                      chunkTokens: Int) extends DataWriter[InternalRow] {
+  private val fs =
+    org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir), conf)
+  private val committer = new Lineage.PartitionCommitter(fs, dir, pid, taskId)
+  private val skip = committer.alreadyDone // append/resume semantics
+  private val dict = dictBytes.map(MetaDict.fromBytes).orNull
+  private val maxRows = 1 << 16
+
+  private var seqNo = 0
+  private val docIds = scala.collection.mutable.ArrayBuffer.empty[String]
+  private val sources = scala.collection.mutable.ArrayBuffer.empty[String]
+  private val lens = scala.collection.mutable.ArrayBuffer.empty[Int]
+  private var toks = new Array[Int](math.min(chunkTokens, 1 << 16))
+  private var nTok = 0
+
+  override def write(row: InternalRow): Unit = if (!skip) {
+    // push-mode twin of Encoder.chunkIterator's slicing: flush BEFORE
+    // appending once the previous row crossed the budget — identical
+    // grouping to the pull version
+    if (docIds.nonEmpty && (nTok >= chunkTokens || docIds.length >= maxRows))
+      flush()
+    val arr = row.getArray(1).toIntArray()
+    val n = row.getInt(2)
+    require(n == arr.length,
+      s"row ${row.getUTF8String(0)}: n_tok $n != tokens.length ${arr.length}")
+    docIds += row.getUTF8String(0).toString
+    sources += row.getUTF8String(3).toString
+    lens += n
+    if (nTok + n > toks.length) {
+      val want = math.max(toks.length * 2L, nTok.toLong + n)
+      toks = java.util.Arrays.copyOf(toks,
+        math.min(want, Int.MaxValue - 8).toInt)
+    }
+    System.arraycopy(arr, 0, toks, nTok, n)
+    nTok += n
+  }
+
+  private def flush(): Unit = {
+    committer.add(ChunkBuilder.build(pid, seqNo, docIds.toArray,
+      sources.toArray, java.util.Arrays.copyOf(toks, nTok), lens.toArray,
+      dict))
+    seqNo += 1
+    docIds.clear(); sources.clear(); lens.clear(); nTok = 0
+  }
+
+  override def commit(): WriterCommitMessage =
+    if (skip) GraftCommitMessage(pid, committed = false)
+    else {
+      if (docIds.nonEmpty) flush()
+      GraftCommitMessage(pid, committer.commit())
+    }
+  override def abort(): Unit = if (!skip) committer.abort()
+  override def close(): Unit = ()
 }
 
 class GraftPartitionReader(conf: Configuration, p: GraftInputPartition,

@@ -59,6 +59,31 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(ranged.count() == 10)
   }
 
+  test("write.format(graft): roundtrip, append-resume, overwrite-truncate") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-dsv2-w").toString
+    val df = spark.createDataset(rows).toDF()
+      .repartition(3, col("doc_id")) // deterministic membership (resume-sound)
+    df.write.format("graft").mode("append")
+      .option("chunkTokens", "2048").save(out)
+    val got = graft.engine.Lineage.decodeFromDir(spark, out).collect()
+      .map(r => r.doc_id -> r).toMap
+    assert(got.size == rows.size)
+    rows.foreach(r => assert(got(r.doc_id).tokens.sameElements(r.tokens)))
+    // append onto committed partitions = resume: no duplicates
+    df.write.format("graft").mode("append")
+      .option("chunkTokens", "2048").save(out)
+    assert(spark.read.format("graft").load(out).count() == rows.size.toLong)
+    // overwrite truncates then rewrites
+    spark.createDataset(rows.take(100)).toDF()
+      .repartition(2, col("doc_id"))
+      .write.format("graft").mode("overwrite").save(out)
+    val after = spark.read.format("graft").load(out)
+    assert(after.count() == 100L)
+    assert(after.select("doc_id").collect().map(_.getString(0)).toSet ==
+      rows.take(100).map(_.doc_id).toSet)
+  }
+
   test("column pruning has teeth: payload is never decoded when unselected") {
     // corrupt one byte INSIDE the first chunk's token payload on disk
     val m = Lineage.readManifest(spark, dir).collect().minBy(_.offset)
