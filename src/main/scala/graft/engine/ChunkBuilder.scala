@@ -107,20 +107,8 @@ object ChunkBuilder {
     val tokens = TokenCodec.decodeOrThrow(c.payload)
     if (tokens.length.toLong != c.n_tokens)
       throw CorruptException(s"chunk ${c.chunk_id}: token count mismatch")
-    val sections = splitSections(c.meta, 4)
-    val rowLens = TokenCodec.decodeOrThrow(sections(0))
-    val srcIdx = TokenCodec.decodeOrThrow(sections(1))
-    val srcDict = unpackStrings(Fsst.decode(sections(2)))
-    val dBlob =
-      if (sharedMeta != null)
-        Fsst.decodeShared(sharedMeta.fsst, sharedMeta.o1Model,
-          sharedMeta.fingerprint, sections(3))
-      else Fsst.decode(sections(3))
-    val docIds = unpackStringsAuto(dBlob)
-    if (rowLens.length != c.n_rows || srcIdx.length != c.n_rows ||
-        docIds.length != c.n_rows)
-      throw CorruptException(s"chunk ${c.chunk_id}: row count mismatch")
-
+    val (rowLens, srcIdx, srcDict, docIds) = openSections(c, sharedMeta,
+      withDocIds = true)
     new Iterator[SeqRow] {
       private var row = 0
       private var off = 0
@@ -130,10 +118,8 @@ object ChunkBuilder {
         if (off + len > tokens.length)
           throw CorruptException(s"chunk ${c.chunk_id}: row overrun")
         val toks = java.util.Arrays.copyOfRange(tokens, off, off + len)
-        val si = srcIdx(row)
-        if (si < 0 || si >= srcDict.length)
-          throw CorruptException(s"chunk ${c.chunk_id}: source index")
-        val out = SeqRow(docIds(row), toks, len, srcDict(si))
+        val out = SeqRow(docIds(row), toks, len,
+          srcOf(c, srcDict, srcIdx(row)))
         off += len
         row += 1
         out
@@ -147,42 +133,54 @@ object ChunkBuilder {
     * never touches the compressed tokens. */
   def openSide(c: EncodedChunk,
                sharedMeta: MetaDict): Iterator[(String, Int, String)] = {
-    val sections = splitSections(c.meta, 4)
-    val rowLens = TokenCodec.decodeOrThrow(sections(0))
-    val srcIdx = TokenCodec.decodeOrThrow(sections(1))
-    val srcDict = unpackStrings(Fsst.decode(sections(2)))
-    val dBlob =
-      if (sharedMeta != null)
-        Fsst.decodeShared(sharedMeta.fsst, sharedMeta.o1Model,
-          sharedMeta.fingerprint, sections(3))
-      else Fsst.decode(sections(3))
-    val docIds = unpackStringsAuto(dBlob)
-    if (rowLens.length != c.n_rows || srcIdx.length != c.n_rows ||
-        docIds.length != c.n_rows)
-      throw CorruptException(s"chunk ${c.chunk_id}: row count mismatch")
-    (0 until c.n_rows).iterator.map { i =>
-      val si = srcIdx(i)
-      if (si < 0 || si >= srcDict.length)
-        throw CorruptException(s"chunk ${c.chunk_id}: source index")
-      (docIds(i), rowLens(i), srcDict(si))
-    }
+    val (rowLens, srcIdx, srcDict, docIds) = openSections(c, sharedMeta,
+      withDocIds = true)
+    (0 until c.n_rows).iterator.map(i =>
+      (docIds(i), rowLens(i), srcOf(c, srcDict, srcIdx(i))))
   }
 
   /** Decode only the side metadata (source, n_tok per row) without touching
-    * the token payload — rollups/reports read this, not the data. */
+    * the token payload OR the doc_id section (the biggest meta section and
+    * the only shared-dict one — so this path needs no dictionary at all). */
   def openMeta(c: EncodedChunk): Iterator[(String, Int)] = {
+    val (rowLens, srcIdx, srcDict, _) = openSections(c, null,
+      withDocIds = false)
+    (0 until c.n_rows).iterator.map(i =>
+      (srcOf(c, srcDict, srcIdx(i)), rowLens(i)))
+  }
+
+  /** ONE copy of the meta-decode prologue (section split, shared-dict
+    * dispatch, validation) behind open/openSide/openMeta — the pruned
+    * paths can never silently diverge from the full one. docIds is null
+    * when withDocIds = false. */
+  private def openSections(c: EncodedChunk, sharedMeta: MetaDict,
+                           withDocIds: Boolean)
+      : (Array[Int], Array[Int], Array[String], Array[String]) = {
     val sections = splitSections(c.meta, 4)
     val rowLens = TokenCodec.decodeOrThrow(sections(0))
     val srcIdx = TokenCodec.decodeOrThrow(sections(1))
     val srcDict = unpackStrings(Fsst.decode(sections(2)))
-    if (rowLens.length != c.n_rows || srcIdx.length != c.n_rows)
+    val docIds =
+      if (!withDocIds) null
+      else {
+        val dBlob =
+          if (sharedMeta != null)
+            Fsst.decodeShared(sharedMeta.fsst, sharedMeta.o1Model,
+              sharedMeta.fingerprint, sections(3))
+          else Fsst.decode(sections(3))
+        unpackStringsAuto(dBlob)
+      }
+    if (rowLens.length != c.n_rows || srcIdx.length != c.n_rows ||
+        (docIds != null && docIds.length != c.n_rows))
       throw CorruptException(s"chunk ${c.chunk_id}: row count mismatch")
-    (0 until c.n_rows).iterator.map { i =>
-      val si = srcIdx(i)
-      if (si < 0 || si >= srcDict.length)
-        throw CorruptException(s"chunk ${c.chunk_id}: source index")
-      (srcDict(si), rowLens(i))
-    }
+    (rowLens, srcIdx, srcDict, docIds)
+  }
+
+  private def srcOf(c: EncodedChunk, srcDict: Array[String],
+                    si: Int): String = {
+    if (si < 0 || si >= srcDict.length)
+      throw CorruptException(s"chunk ${c.chunk_id}: source index")
+    srcDict(si)
   }
 
   // ---- string blob helpers --------------------------------------------------

@@ -393,13 +393,31 @@ object Lineage {
       .map(_.toString).sorted.toSeq
   }
 
+  /** Tree root, validated LOUDLY: a missing root or a plain lineage dir
+    * (the thing decodeFromDir reads) must error, not return a silently
+    * empty Dataset indistinguishable from an empty tree. An existing
+    * non-lineage root with no batches yet is a legitimate pre-start tree
+    * and yields the empty list. */
+  private def treeDirs(spark: SparkSession, root: String): Seq[String] = {
+    val fs = FileSystem.get(new java.net.URI(root),
+      spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(root)))
+      throw new IllegalArgumentException(
+        s"graft batch-tree root does not exist: $root")
+    if (fs.exists(new Path(s"$root/_lineage")))
+      throw new IllegalArgumentException(
+        s"$root is a plain lineage dir — use decodeFromDir " +
+          "(batch trees hold batch=N subdirectories)")
+    batchDirs(spark, root)
+  }
+
   /** Decode an entire streaming batch tree as ONE Dataset. Each subdir
     * resolves its own manifest and shared dictionary, so mixed-era and
     * mixed-dictionary batches compose; the union is lazy (one Spark plan,
     * chunks of every batch decode in parallel). */
   def decodeBatchTree(spark: SparkSession, root: String): Dataset[SeqRow] = {
     import spark.implicits._
-    batchDirs(spark, root).map(d => decodeFromDir(spark, d))
+    treeDirs(spark, root).map(d => decodeFromDir(spark, d))
       .reduceOption(_ union _)
       .getOrElse(spark.emptyDataset[SeqRow])
   }
@@ -410,7 +428,7 @@ object Lineage {
   def decodeDocIdRangeTree(spark: SparkSession, root: String, lo: String,
                            hi: String): Dataset[SeqRow] = {
     import spark.implicits._
-    batchDirs(spark, root).map(d => decodeDocIdRange(spark, d, lo, hi))
+    treeDirs(spark, root).map(d => decodeDocIdRange(spark, d, lo, hi))
       .reduceOption(_ union _)
       .getOrElse(spark.emptyDataset[SeqRow])
   }
@@ -425,7 +443,7 @@ object Lineage {
   def decodeContainingTokenTree(spark: SparkSession, root: String,
                                 tok: Int): Dataset[SeqRow] = {
     import spark.implicits._
-    batchDirs(spark, root).map(d => decodeContainingToken(spark, d, tok))
+    treeDirs(spark, root).map(d => decodeContainingToken(spark, d, tok))
       .reduceOption(_ union _)
       .getOrElse(spark.emptyDataset[SeqRow])
   }

@@ -153,7 +153,14 @@ class GraftReaderFactory(conf: SerializableConfiguration,
   *  - rows are chunked AS PARTITIONED (the sink never reshuffles — encode
   *    where the data lives; repartition deterministically upstream if you
   *    want resume-sound partition membership);
-  *  - append mode resumes: partitions whose manifest exists are skipped;
+  *  - append mode honors SPARK's append contract: new writes land in fresh
+  *    partition files (ids offset past the committed ones) — never a
+  *    silent skip of new data. Concurrent appends to one dir need external
+  *    coordination (the offset is computed once, driver-side);
+  *  - `option("resume", "true")` switches append to encodeToDir's RESUME
+  *    semantics instead: partition ids are kept and already-committed ones
+  *    are skipped — for re-running the exact same deterministic write
+  *    after a failure, NOT for adding new data;
   *  - overwrite truncates the table dir first (driver-side, once);
   *  - an already-published shared meta dictionary is honored; fresh dirs
   *    write self-contained chunks;
@@ -165,12 +172,15 @@ class GraftWriteBuilder(path: String, info: LogicalWriteInfo)
   override def build(): Write = {
     val chunkTokens = Option(info.options.get("chunktokens"))
       .map(_.toInt).getOrElse(1 << 20)
-    new GraftWrite(path, info.schema(), doTruncate, chunkTokens)
+    require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
+    val resume = Option(info.options.get("resume")).exists(_.toBoolean)
+    new GraftWrite(path, info.schema(), doTruncate, chunkTokens, resume)
   }
 }
 
 class GraftWrite(path: String, inputSchema: StructType, doTruncate: Boolean,
-                 chunkTokens: Int) extends Write with BatchWrite {
+                 chunkTokens: Int, resume: Boolean)
+    extends Write with BatchWrite {
   override def toBatch: BatchWrite = this
 
   override def createBatchWriterFactory(
@@ -190,10 +200,21 @@ class GraftWrite(path: String, inputSchema: StructType, doTruncate: Boolean,
     }
     fs.mkdirs(new Path(s"$path/data"))
     fs.mkdirs(new Path(s"$path/_lineage"))
+    // Spark-append contract: new data lands in FRESH partitions, offset
+    // past everything committed; resume mode keeps ids (and so the skip)
+    val pidOffset =
+      if (resume || doTruncate) 0
+      else {
+        val committed = fs.listStatus(new Path(s"$path/_lineage"))
+          .map(_.getPath.getName)
+          .collect { case n if n.startsWith("part-") && n.endsWith(".json") =>
+            n.stripPrefix("part-").stripSuffix(".json").toInt }
+        if (committed.isEmpty) 0 else committed.max + 1
+      }
     val dict = Lineage.sharedDictBytes(spark, path)
     new GraftWriterFactory(path,
       new SerializableConfiguration(spark.sparkContext.hadoopConfiguration),
-      dict, chunkTokens)
+      dict, chunkTokens, pidOffset, resume)
   }
   // per-partition commits are already durable+atomic (manifest renames);
   // the job-level commit has nothing left to do, and failed jobs leave
@@ -206,21 +227,26 @@ case class GraftCommitMessage(pid: Int, committed: Boolean)
     extends WriterCommitMessage
 
 class GraftWriterFactory(dir: String, conf: SerializableConfiguration,
-                         dict: Option[Array[Byte]], chunkTokens: Int)
+                         dict: Option[Array[Byte]], chunkTokens: Int,
+                         pidOffset: Int, resume: Boolean)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int,
                             taskId: Long): DataWriter[InternalRow] =
-    new GraftDataWriter(dir, conf.value, partitionId, taskId, dict,
-      chunkTokens)
+    new GraftDataWriter(dir, conf.value, pidOffset + partitionId, taskId,
+      dict, chunkTokens, resume)
 }
 
 class GraftDataWriter(dir: String, conf: Configuration, pid: Int,
                       taskId: Long, dictBytes: Option[Array[Byte]],
-                      chunkTokens: Int) extends DataWriter[InternalRow] {
+                      chunkTokens: Int, resume: Boolean)
+    extends DataWriter[InternalRow] {
   private val fs =
     org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir), conf)
   private val committer = new Lineage.PartitionCommitter(fs, dir, pid, taskId)
-  private val skip = committer.alreadyDone // append/resume semantics
+  // only RESUME mode may skip (re-running the same deterministic write);
+  // in plain append the partition ids are fresh, so alreadyDone here means
+  // a task RETRY of this very write — the committer settles that race
+  private val skip = resume && committer.alreadyDone
   private val dict = dictBytes.map(MetaDict.fromBytes).orNull
   private val maxRows = 1 << 16
 
@@ -237,6 +263,10 @@ class GraftDataWriter(dir: String, conf: Configuration, pid: Int,
     // grouping to the pull version
     if (docIds.nonEmpty && (nTok >= chunkTokens || docIds.length >= maxRows))
       flush()
+    if (row.isNullAt(0) || row.isNullAt(1) || row.isNullAt(3))
+      throw new IllegalArgumentException(
+        "graft sink: doc_id, tokens and source must be non-null " +
+          s"(partition $pid)")
     val arr = row.getArray(1).toIntArray()
     val n = row.getInt(2)
     require(n == arr.length,
@@ -274,29 +304,41 @@ class GraftDataWriter(dir: String, conf: Configuration, pid: Int,
 class GraftPartitionReader(conf: Configuration, p: GraftInputPartition,
                            required: StructType)
     extends PartitionReader[InternalRow] {
-  private val needTokens = required.fieldNames.contains("tokens")
+  // ordinal projection map computed ONCE — no per-row string matching on
+  // the innermost loop of the path this source advertises as fast
+  private val ordinals: Array[Int] = required.fieldNames.map {
+    case "doc_id" => 0
+    case "tokens" => 1
+    case "n_tok"  => 2
+    case "source" => 3
+    case other =>
+      throw new IllegalArgumentException(s"unknown graft column $other")
+  }
+  private val needTokens = ordinals.contains(1)
+  private val needDocId = ordinals.contains(0)
   private val dict = p.dict.map(MetaDict.fromBytes).orNull
   private val chunk = Lineage.readChunk(conf, p.dir, p.row)
   private val it: Iterator[InternalRow] =
     if (needTokens)
       ChunkBuilder.open(chunk, dict)
         .map(r => project(r.doc_id, r.tokens, r.n_tok, r.source))
-    else // pruning with teeth: the compressed payload is never decoded
+    else if (needDocId) // payload never decoded
       ChunkBuilder.openSide(chunk, dict)
         .map { case (id, n, src) => project(id, null, n, src) }
+    else // neither payload NOR the doc_id section (the dominant meta cost)
+      ChunkBuilder.openMeta(chunk)
+        .map { case (src, n) => project(null, null, n, src) }
 
   private def project(id: String, toks: Array[Int], n: Int,
                       src: String): InternalRow = {
-    val out = new GenericInternalRow(required.length)
+    val out = new GenericInternalRow(ordinals.length)
     var i = 0
-    while (i < required.length) {
-      required.fields(i).name match {
-        case "doc_id" => out.update(i, UTF8String.fromString(id))
-        case "tokens" => out.update(i, UnsafeArrayData.fromPrimitiveArray(toks))
-        case "n_tok"  => out.setInt(i, n)
-        case "source" => out.update(i, UTF8String.fromString(src))
-        case other =>
-          throw new IllegalArgumentException(s"unknown graft column $other")
+    while (i < ordinals.length) {
+      ordinals(i) match {
+        case 0 => out.update(i, UTF8String.fromString(id))
+        case 1 => out.update(i, UnsafeArrayData.fromPrimitiveArray(toks))
+        case 2 => out.setInt(i, n)
+        case 3 => out.update(i, UTF8String.fromString(src))
       }
       i += 1
     }

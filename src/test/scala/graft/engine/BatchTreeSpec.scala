@@ -37,8 +37,14 @@ class BatchTreeSpec extends AnyFunSuite {
       "doc-02-00000010", "doc-02-00000014").collect()
     assert(ranged.map(_.doc_id).sorted.toSeq ==
       (10 to 14).map(i => f"doc-02-$i%08d"))
-    // empty/missing roots yield empty datasets, not errors
-    assert(Lineage.decodeBatchTree(spark, s"$root/nope").count() == 0)
+    // misuse is LOUD: a missing root or a plain lineage dir (decodeFromDir
+    // territory) must error, not read as an empty tree
+    intercept[IllegalArgumentException] {
+      Lineage.decodeBatchTree(spark, s"$root/nope")
+    }
+    intercept[IllegalArgumentException] {
+      Lineage.decodeBatchTree(spark, s"$root/batch=00000")
+    }
     // tree-wide manifest compaction: all 3x2 partitions, decode unchanged
     assert(Lineage.compactBatchTree(spark, root) == 6L)
     assert(Lineage.decodeBatchTree(spark, root).count() == all.size.toLong)

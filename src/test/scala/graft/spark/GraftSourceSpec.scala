@@ -70,10 +70,15 @@ class GraftSourceSpec extends AnyFunSuite {
       .map(r => r.doc_id -> r).toMap
     assert(got.size == rows.size)
     rows.foreach(r => assert(got(r.doc_id).tokens.sameElements(r.tokens)))
-    // append onto committed partitions = resume: no duplicates
-    df.write.format("graft").mode("append")
+    // resume mode: re-running the same deterministic write is a no-op
+    df.write.format("graft").mode("append").option("resume", "true")
       .option("chunkTokens", "2048").save(out)
     assert(spark.read.format("graft").load(out).count() == rows.size.toLong)
+    // PLAIN append honors Spark's contract: new write = new partitions,
+    // rows actually appended (never a silent skip of new data)
+    df.write.format("graft").mode("append")
+      .option("chunkTokens", "2048").save(out)
+    assert(spark.read.format("graft").load(out).count() == 2L * rows.size)
     // overwrite truncates then rewrites
     spark.createDataset(rows.take(100)).toDF()
       .repartition(2, col("doc_id"))
