@@ -107,24 +107,41 @@ class GraftScan(path: String, pushed: Array[Filter], required: StructType)
   override def planInputPartitions(): Array[InputPartition] = {
     import org.apache.spark.sql.functions.col
     val spark = SparkSession.active
-    var m = Lineage.readManifest(spark, path)
-    // manifest zone-map pruning in Spark's own (UTF8 binary) string order —
-    // the same order ChunkBuilder computed the bounds in
-    pushed.foreach {
-      case EqualTo("doc_id", v: String) =>
-        m = m.filter(col("max_doc_id") >= v && col("min_doc_id") <= v)
-      case GreaterThan("doc_id", v: String) =>
-        m = m.filter(col("max_doc_id") > v)
-      case GreaterThanOrEqual("doc_id", v: String) =>
-        m = m.filter(col("max_doc_id") >= v)
-      case LessThan("doc_id", v: String) =>
-        m = m.filter(col("min_doc_id") < v)
-      case LessThanOrEqual("doc_id", v: String) =>
-        m = m.filter(col("min_doc_id") <= v)
-      case _ => ()
-    }
-    val dict = Lineage.sharedDictBytes(spark, path)
-    m.collect().map(r => GraftInputPartition(path, r, dict): InputPartition)
+    // a plain lineage dir is one table; a streaming batch TREE
+    // (root/batch=N/...) is the union of its batches, each with its own
+    // manifest and shared dictionary
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+    val dirs: Seq[String] =
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/_lineage")))
+        Seq(path)
+      else {
+        val batches = Lineage.batchDirs(spark, path)
+        if (batches.isEmpty) throw new IllegalArgumentException(
+          s"$path holds neither a lineage table (_lineage/) nor batch=N " +
+            "subdirectories")
+        batches
+      }
+    dirs.flatMap { d =>
+      var m = Lineage.readManifest(spark, d)
+      // manifest zone-map pruning in Spark's own (UTF8 binary) string
+      // order — the same order ChunkBuilder computed the bounds in
+      pushed.foreach {
+        case EqualTo("doc_id", v: String) =>
+          m = m.filter(col("max_doc_id") >= v && col("min_doc_id") <= v)
+        case GreaterThan("doc_id", v: String) =>
+          m = m.filter(col("max_doc_id") > v)
+        case GreaterThanOrEqual("doc_id", v: String) =>
+          m = m.filter(col("max_doc_id") >= v)
+        case LessThan("doc_id", v: String) =>
+          m = m.filter(col("min_doc_id") < v)
+        case LessThanOrEqual("doc_id", v: String) =>
+          m = m.filter(col("min_doc_id") <= v)
+        case _ => ()
+      }
+      val dict = Lineage.sharedDictBytes(spark, d)
+      m.collect().map(r => GraftInputPartition(d, r, dict): InputPartition)
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

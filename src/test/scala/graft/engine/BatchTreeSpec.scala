@@ -48,5 +48,13 @@ class BatchTreeSpec extends AnyFunSuite {
     // tree-wide manifest compaction: all 3x2 partitions, decode unchanged
     assert(Lineage.compactBatchTree(spark, root) == 6L)
     assert(Lineage.decodeBatchTree(spark, root).count() == all.size.toLong)
+    // the DSv2 source auto-detects tree roots: one load over all batches,
+    // zone-map pruning still per batch manifest
+    val df = spark.read.format("graft").load(root)
+    assert(df.count() == all.size.toLong)
+    val one = df.filter(org.apache.spark.sql.functions.col("doc_id") ===
+      "doc-02-00000007")
+    assert(one.rdd.getNumPartitions < df.rdd.getNumPartitions)
+    assert(one.collect().map(_.getString(0)).toSeq == Seq("doc-02-00000007"))
   }
 }
