@@ -89,6 +89,40 @@ class GraftSourceSpec extends AnyFunSuite {
       rows.take(100).map(_.doc_id).toSet)
   }
 
+  test("sink chunks are BYTE-IDENTICAL to encodeToDir's (push == pull)") {
+    import spark.implicits._
+    // ragged rows: zero-token, fat, skewed sources
+    val rng = new scala.util.Random(7)
+    val rs = (0 until 700).map { i =>
+      val n = rng.nextInt(60)
+      SeqRow(f"doc-$i%08d", Array.fill(n)(rng.nextInt(50000)), n,
+        if (i % 7 == 0) "a" else "b")
+    }
+    val dirA = java.nio.file.Files.createTempDirectory("graft-eq-a").toString
+    graft.engine.Lineage.encodeToDir(spark.createDataset(rs), dirA,
+      EncoderConfig(chunkTokens = 4096, numPartitions = 3))
+    // same arrangement + the same published dict => the DSv2 writer's
+    // push-mode slicing must reproduce encodeToDir's bytes exactly
+    val dirB = java.nio.file.Files.createTempDirectory("graft-eq-b").toString
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(dirB, "_lineage"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(dirA, "_lineage/_shared_dict.bin"),
+      java.nio.file.Paths.get(dirB, "_lineage/_shared_dict.bin"))
+    spark.createDataset(rs)
+      .repartition(3, col("doc_id"))
+      .sortWithinPartitions("source", "doc_id") // = Encoder.arrange
+      .write.format("graft").mode("append")
+      .option("chunkTokens", "4096").save(dirB)
+    (0 until 3).foreach { p =>
+      val a = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dirA, f"data/part-$p%05d.graft"))
+      val b = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dirB, f"data/part-$p%05d.graft"))
+      assert(java.util.Arrays.equals(a, b), s"partition $p bytes diverge")
+    }
+  }
+
   test("column pruning has teeth: payload is never decoded when unselected") {
     // corrupt one byte INSIDE the first chunk's token payload on disk
     val m = Lineage.readManifest(spark, dir).collect().minBy(_.offset)
