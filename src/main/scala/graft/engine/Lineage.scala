@@ -433,6 +433,27 @@ object Lineage {
       .getOrElse(spark.emptyDataset[SeqRow])
   }
 
+  /** Mark a batch dir fully committed. The streaming SOURCE
+    * (`readStream.format("graft")`) uses this marker — not the dir's mere
+    * existence — as the visibility point, so a half-written batch is never
+    * consumed and then skipped forever by an advancing offset. Idempotent
+    * (batch retries re-mark). */
+  def markBatchReady(spark: SparkSession, batchDir: String): Unit = {
+    val fs = FileSystem.get(new java.net.URI(batchDir),
+      spark.sparkContext.hadoopConfiguration)
+    val m = new Path(s"$batchDir/_graft_batch_ready")
+    if (!fs.exists(m)) fs.create(m, true).close()
+  }
+
+  /** The READY batch subdirs of a streaming tree, in batch order — the
+    * incremental reader's view (batchDirs is the at-rest view). */
+  def readyBatchDirs(spark: SparkSession, root: String): Seq[String] = {
+    val fs = FileSystem.get(new java.net.URI(root),
+      spark.sparkContext.hadoopConfiguration)
+    batchDirs(spark, root)
+      .filter(d => fs.exists(new Path(s"$d/_graft_batch_ready")))
+  }
+
   /** Compact every batch's JSON manifest to parquet (tree-wide; idempotent).
     * Returns the total lineage partitions covered. */
   def compactBatchTree(spark: SparkSession, root: String): Long =

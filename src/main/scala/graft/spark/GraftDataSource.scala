@@ -63,7 +63,7 @@ class GraftTable(path: String) extends Table
   override def schema(): StructType = GraftTable.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(path)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -100,6 +100,9 @@ class GraftScan(path: String, pushed: Array[Filter], required: StructType)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(
+      checkpointLocation: String): streaming.MicroBatchStream =
+    new GraftMicroBatchStream(path, pushed, required)
   override def description(): String =
     s"graft:$path prunedFilters=[${pushed.mkString(", ")}] " +
       s"columns=[${required.fieldNames.mkString(", ")}]"
@@ -122,26 +125,7 @@ class GraftScan(path: String, pushed: Array[Filter], required: StructType)
             "subdirectories")
         batches
       }
-    dirs.flatMap { d =>
-      var m = Lineage.readManifest(spark, d)
-      // manifest zone-map pruning in Spark's own (UTF8 binary) string
-      // order — the same order ChunkBuilder computed the bounds in
-      pushed.foreach {
-        case EqualTo("doc_id", v: String) =>
-          m = m.filter(col("max_doc_id") >= v && col("min_doc_id") <= v)
-        case GreaterThan("doc_id", v: String) =>
-          m = m.filter(col("max_doc_id") > v)
-        case GreaterThanOrEqual("doc_id", v: String) =>
-          m = m.filter(col("max_doc_id") >= v)
-        case LessThan("doc_id", v: String) =>
-          m = m.filter(col("min_doc_id") < v)
-        case LessThanOrEqual("doc_id", v: String) =>
-          m = m.filter(col("min_doc_id") <= v)
-        case _ => ()
-      }
-      val dict = Lineage.sharedDictBytes(spark, d)
-      m.collect().map(r => GraftInputPartition(d, r, dict): InputPartition)
-    }.toArray
+    dirs.flatMap(d => GraftPlanning.partitionsFor(spark, d, pushed)).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -153,6 +137,75 @@ class GraftScan(path: String, pushed: Array[Filter], required: StructType)
 
 case class GraftInputPartition(dir: String, row: Lineage.ManifestRow,
                                dict: Option[Array[Byte]]) extends InputPartition
+
+/** One copy of dir-level planning (manifest load, zone-map pruning, dict
+  * pickup) shared by the batch scan and the micro-batch stream. */
+private[spark] object GraftPlanning {
+  import org.apache.spark.sql.functions.col
+  def partitionsFor(spark: SparkSession, d: String,
+                    pushed: Array[Filter]): Seq[InputPartition] = {
+    var m = Lineage.readManifest(spark, d)
+    // manifest zone-map pruning in Spark's own (UTF8 binary) string order —
+    // the same order ChunkBuilder computed the bounds in
+    pushed.foreach {
+      case EqualTo("doc_id", v: String) =>
+        m = m.filter(col("max_doc_id") >= v && col("min_doc_id") <= v)
+      case GreaterThan("doc_id", v: String) =>
+        m = m.filter(col("max_doc_id") > v)
+      case GreaterThanOrEqual("doc_id", v: String) =>
+        m = m.filter(col("max_doc_id") >= v)
+      case LessThan("doc_id", v: String) =>
+        m = m.filter(col("min_doc_id") < v)
+      case LessThanOrEqual("doc_id", v: String) =>
+        m = m.filter(col("min_doc_id") <= v)
+      case _ => ()
+    }
+    val dict = Lineage.sharedDictBytes(spark, d)
+    m.collect().toSeq.map(r => GraftInputPartition(d, r, dict))
+  }
+}
+
+// ---- incremental (micro-batch) read over a batch tree ----------------------
+
+case class GraftOffset(batches: Int)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = s"""{"batches":$batches}"""
+}
+
+/** `spark.readStream.format("graft").load(root)` — consume a streaming
+  * batch tree INCREMENTALLY: the offset is the count of READY batch
+  * subdirs (gated on the `_graft_batch_ready` marker, so a half-written
+  * batch is never consumed and then skipped forever), and each trigger
+  * plans exactly the chunks of the newly readied batches. Produce with
+  * StreamingEncoder.writeToLineageDir, consume here — the encoded corpus
+  * becomes an append-only stream with the same pruning and column
+  * semantics as the batch source. */
+class GraftMicroBatchStream(root: String, pushed: Array[Filter],
+                            required: StructType)
+    extends streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+  private def spark = SparkSession.active
+  override def initialOffset(): Offset = GraftOffset(0)
+  override def latestOffset(): Offset =
+    GraftOffset(Lineage.readyBatchDirs(spark, root).size)
+  override def deserializeOffset(json: String): Offset =
+    GraftOffset("""\d+""".r.findFirstIn(json).getOrElse("0").toInt)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+  override def planInputPartitions(start: Offset,
+                                   end: Offset): Array[InputPartition] = {
+    val s0 = start.asInstanceOf[GraftOffset].batches
+    val e0 = end.asInstanceOf[GraftOffset].batches
+    // ready dirs are append-only and name-ordered: [s0, e0) is exactly the
+    // batch range this trigger owns
+    Lineage.readyBatchDirs(spark, root).slice(s0, e0)
+      .flatMap(d => GraftPlanning.partitionsFor(spark, d, pushed)).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftReaderFactory(
+      new SerializableConfiguration(spark.sparkContext.hadoopConfiguration),
+      required)
+}
 
 class GraftReaderFactory(conf: SerializableConfiguration,
                          required: StructType) extends PartitionReaderFactory {

@@ -42,6 +42,10 @@ object StreamingEncoder {
       .outputMode("append")
       .foreachBatch { (batch: Dataset[SeqRow], batchId: Long) =>
         val sub = f"$dir/batch=$batchId%05d"
+        // READY marker after the batch fully commits (below): downstream
+        // incremental readers (readStream.format("graft")) must never
+        // consume a half-written batch dir — the marker, not the dir's
+        // existence, is their visibility point.
         // Lineage resume needs explicit deterministic partitioning; when the
         // caller left it open, pin it to the cluster's parallelism — stable
         // for the lifetime of a deployment, which is what a batch retry sees.
@@ -50,6 +54,7 @@ object StreamingEncoder {
           else cfg.copy(numPartitions =
             batch.sparkSession.sparkContext.defaultParallelism)
         Lineage.encodeToDir(batch, sub, bcfg)
+        Lineage.markBatchReady(batch.sparkSession, sub)
         ()
       }
 

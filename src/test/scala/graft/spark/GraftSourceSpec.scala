@@ -123,6 +123,47 @@ class GraftSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("readStream.format(graft): incremental, marker-gated consumption") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-ss").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ss-ck").toString
+    val cfg = EncoderConfig(chunkTokens = 1 << 10, numPartitions = 2)
+    def rowsOf(b: Int) = (0 until 200).map(i =>
+      SeqRow(f"doc-$b%02d-$i%06d", Array(b * 1000 + i), 1, "s"))
+    def writeBatch(b: Int, ready: Boolean): Unit = {
+      val d = f"$root/batch=$b%05d"
+      graft.engine.Lineage.encodeToDir(spark.createDataset(rowsOf(b)), d, cfg)
+      if (ready) graft.engine.Lineage.markBatchReady(spark, d)
+    }
+    writeBatch(0, ready = true)
+    writeBatch(1, ready = true)
+    val got = scala.collection.mutable.Set.empty[String]
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft").load(root)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          got ++= df.collect().map(_.getString(0)); ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      ()
+    }
+    drain()
+    assert(got.size == 400, s"first drain saw ${got.size}")
+    // a batch WITHOUT the ready marker is invisible — never half-consumed
+    writeBatch(2, ready = false)
+    drain()
+    assert(got.size == 400, "unready batch must not be consumed")
+    // marker flips visibility; the checkpointed offset resumes so the next
+    // drain delivers ONLY the new batch
+    got.clear()
+    graft.engine.Lineage.markBatchReady(spark, s"$root/batch=00002")
+    drain()
+    assert(got.size == 200 && got.forall(_.startsWith("doc-02")),
+      s"incremental drain saw ${got.size}")
+  }
+
   test("column pruning has teeth: payload is never decoded when unselected") {
     // corrupt one byte INSIDE the first chunk's token payload on disk
     val m = Lineage.readManifest(spark, dir).collect().minBy(_.offset)
