@@ -380,6 +380,21 @@ object Lineage {
 
   // ---- batch trees (streaming sink layout: root/batch=N/{data,_lineage}) ----
 
+  /** Parse a batch dir's number from its NAME ("batch=123" -> 123). */
+  def batchNumber(dirPath: String): Option[Long] = {
+    val name = new Path(dirPath).getName
+    if (name.startsWith("batch=")) name.stripPrefix("batch=").toLongOption
+    else None
+  }
+
+  /** NUMERIC-aware batch ordering: zero-padded names sort correctly only
+    * until the pad rolls over (batch=100000 sorts between 10000 and 10001
+    * lexicographically — a silent duplicate+drop for a count-based stream
+    * offset). Numbered batches order by VALUE; anything unnumbered sorts
+    * after them by name. */
+  private def batchSortKey(dirPath: String): (Long, String) =
+    (batchNumber(dirPath).getOrElse(Long.MaxValue), new Path(dirPath).getName)
+
   /** The lineage subdirs of a streaming batch tree, in batch order. A dir
     * qualifies by CONTENT (it has a _lineage dir), not by name — manual
     * layouts compose too. */
@@ -390,7 +405,7 @@ object Lineage {
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
       .filter(d => fs.exists(new Path(d, "_lineage")))
-      .map(_.toString).sorted.toSeq
+      .map(_.toString).sortBy(batchSortKey).toSeq
   }
 
   /** Tree root, validated LOUDLY: a missing root or a plain lineage dir
@@ -446,12 +461,20 @@ object Lineage {
   }
 
   /** The READY batch subdirs of a streaming tree, in batch order — the
-    * incremental reader's view (batchDirs is the at-rest view). */
+    * incremental reader's view (batchDirs is the at-rest view). One glob
+    * listing for the markers instead of one exists() RPC per batch: over a
+    * year of micro-batches that is the difference between 2 round trips
+    * and tens of thousands, every trigger. */
   def readyBatchDirs(spark: SparkSession, root: String): Seq[String] = {
     val fs = FileSystem.get(new java.net.URI(root),
       spark.sparkContext.hadoopConfiguration)
-    batchDirs(spark, root)
-      .filter(d => fs.exists(new Path(s"$d/_graft_batch_ready")))
+    // subdir NAMES are unique within one root: compare by name to stay
+    // scheme/authority-normalization-proof
+    val markedNames: Set[String] =
+      try fs.globStatus(new Path(s"$root/*/_graft_batch_ready"))
+        .map(_.getPath.getParent.getName).toSet
+      catch { case _: Exception => Set.empty }
+    batchDirs(spark, root).filter(d => markedNames.contains(new Path(d).getName))
   }
 
   /** Compact every batch's JSON manifest to parquet (tree-wide; idempotent).

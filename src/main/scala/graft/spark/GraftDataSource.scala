@@ -108,7 +108,6 @@ class GraftScan(path: String, pushed: Array[Filter], required: StructType)
       s"columns=[${required.fieldNames.mkString(", ")}]"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    import org.apache.spark.sql.functions.col
     val spark = SparkSession.active
     // a plain lineage dir is one table; a streaming batch TREE
     // (root/batch=N/...) is the union of its batches, each with its own
@@ -123,9 +122,15 @@ class GraftScan(path: String, pushed: Array[Filter], required: StructType)
         if (batches.isEmpty) throw new IllegalArgumentException(
           s"$path holds neither a lineage table (_lineage/) nor batch=N " +
             "subdirectories")
-        batches
+        // visibility rule shared with the streaming reader: when ANY batch
+        // carries the ready marker, this is a marker-aware (streaming-
+        // produced) tree and only READY batches are read — an in-flight
+        // half-written batch is invisible to batch reads too. Marker-less
+        // trees (at-rest, pre-marker era) read in full.
+        val ready = Lineage.readyBatchDirs(spark, path)
+        if (ready.nonEmpty) ready else batches
       }
-    dirs.flatMap(d => GraftPlanning.partitionsFor(spark, d, pushed)).toArray
+    GraftPlanning.partitionsForAll(spark, dirs, pushed)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -142,64 +147,111 @@ case class GraftInputPartition(dir: String, row: Lineage.ManifestRow,
   * pickup) shared by the batch scan and the micro-batch stream. */
 private[spark] object GraftPlanning {
   import org.apache.spark.sql.functions.col
-  def partitionsFor(spark: SparkSession, d: String,
-                    pushed: Array[Filter]): Seq[InputPartition] = {
-    var m = Lineage.readManifest(spark, d)
+
+  /** ONE Spark job for the whole dir set: the tagged per-dir manifests are
+    * unioned, pruned once, collected once — a deep tree otherwise pays one
+    * sequential driver-side collect per batch at planning time. */
+  def partitionsForAll(spark: SparkSession, dirs: Seq[String],
+                       pushed: Array[Filter]): Array[InputPartition] = {
+    if (dirs.isEmpty) return Array.empty
+    import spark.implicits._
+    var t = dirs.map(d => Lineage.readManifest(spark, d).map(m => (d, m)))
+      .reduce(_ union _)
     // manifest zone-map pruning in Spark's own (UTF8 binary) string order —
     // the same order ChunkBuilder computed the bounds in
     pushed.foreach {
       case EqualTo("doc_id", v: String) =>
-        m = m.filter(col("max_doc_id") >= v && col("min_doc_id") <= v)
+        t = t.filter(col("_2.max_doc_id") >= v && col("_2.min_doc_id") <= v)
       case GreaterThan("doc_id", v: String) =>
-        m = m.filter(col("max_doc_id") > v)
+        t = t.filter(col("_2.max_doc_id") > v)
       case GreaterThanOrEqual("doc_id", v: String) =>
-        m = m.filter(col("max_doc_id") >= v)
+        t = t.filter(col("_2.max_doc_id") >= v)
       case LessThan("doc_id", v: String) =>
-        m = m.filter(col("min_doc_id") < v)
+        t = t.filter(col("_2.min_doc_id") < v)
       case LessThanOrEqual("doc_id", v: String) =>
-        m = m.filter(col("min_doc_id") <= v)
+        t = t.filter(col("_2.min_doc_id") <= v)
       case _ => ()
     }
-    val dict = Lineage.sharedDictBytes(spark, d)
-    m.collect().toSeq.map(r => GraftInputPartition(d, r, dict))
+    val rows = t.collect()
+    val dicts: Map[String, Option[Array[Byte]]] =
+      rows.iterator.map(_._1).toSet.iterator
+        .map((d: String) => d -> Lineage.sharedDictBytes(spark, d)).toMap
+    rows.map { case (d, m) => GraftInputPartition(d, m, dicts(d)): InputPartition }
   }
 }
 
 // ---- incremental (micro-batch) read over a batch tree ----------------------
 
-case class GraftOffset(batches: Int)
+/** Watermark over BATCH NUMBERS, not dir counts: a count-based offset
+  * breaks the moment name order and arrival order diverge (e.g. the %05d
+  * pad rolling over at batch 100000 — lexicographic mid-list insertion
+  * would silently duplicate one batch and drop another forever). -1 =
+  * nothing consumed. */
+case class GraftOffset(lastBatch: Long)
     extends org.apache.spark.sql.connector.read.streaming.Offset {
-  override def json(): String = s"""{"batches":$batches}"""
+  override def json(): String = s"""{"lastBatch":$lastBatch}"""
 }
 
 /** `spark.readStream.format("graft").load(root)` — consume a streaming
-  * batch tree INCREMENTALLY: the offset is the count of READY batch
-  * subdirs (gated on the `_graft_batch_ready` marker, so a half-written
-  * batch is never consumed and then skipped forever), and each trigger
-  * plans exactly the chunks of the newly readied batches. Produce with
-  * StreamingEncoder.writeToLineageDir, consume here — the encoded corpus
-  * becomes an append-only stream with the same pruning and column
+  * batch tree INCREMENTALLY: the offset is the highest consumed BATCH
+  * NUMBER among READY subdirs (gated on the `_graft_batch_ready` marker,
+  * so a half-written batch is never consumed and then skipped forever),
+  * and each trigger plans exactly the chunks of the newly readied
+  * batches. Batches must become ready in ascending number order — the
+  * streaming sink guarantees it (sequential foreachBatch); manual trees
+  * marking out of order would skip the late-marked earlier batch. Produce
+  * with StreamingEncoder.writeToLineageDir, consume here — the encoded
+  * corpus becomes an append-only stream with the same pruning and column
   * semantics as the batch source. */
 class GraftMicroBatchStream(root: String, pushed: Array[Filter],
                             required: StructType)
     extends streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
   private def spark = SparkSession.active
-  override def initialOffset(): Offset = GraftOffset(0)
+
+  // loud misuse check at stream construction: a missing root or a plain
+  // lineage dir must not read as an eternally empty stream
+  locally {
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(root),
+      SparkSession.active.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(root)))
+      throw new IllegalArgumentException(
+        s"graft stream root does not exist: $root")
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$root/_lineage")))
+      throw new IllegalArgumentException(
+        s"$root is a plain lineage dir — the streaming source reads batch " +
+          "trees (StreamingEncoder.writeToLineageDir output)")
+  }
+
+  /** Ready batches as (number, dir), number-ordered. Unnumbered dirs in a
+    * STREAM tree are a layout error — fail loudly, never mis-order. */
+  private def readyNumbered(): Seq[(Long, String)] =
+    Lineage.readyBatchDirs(spark, root).map { d =>
+      val n = Lineage.batchNumber(d).getOrElse(
+        throw new IllegalArgumentException(
+          s"unnumbered batch dir in stream tree: $d"))
+      (n, d)
+    }.sortBy(_._1)
+
+  override def initialOffset(): Offset = GraftOffset(-1L)
   override def latestOffset(): Offset =
-    GraftOffset(Lineage.readyBatchDirs(spark, root).size)
+    GraftOffset(readyNumbered().lastOption.map(_._1).getOrElse(-1L))
   override def deserializeOffset(json: String): Offset =
-    GraftOffset("""\d+""".r.findFirstIn(json).getOrElse("0").toInt)
+    """"lastBatch"\s*:\s*(-?\d+)""".r.findFirstMatchIn(json) match {
+      case Some(m) => GraftOffset(m.group(1).toLong)
+      case None => throw new IllegalArgumentException(
+        s"corrupt graft stream offset (a garbled checkpoint must fail " +
+          s"loudly, not silently re-deliver the whole tree): $json")
+    }
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
   override def planInputPartitions(start: Offset,
                                    end: Offset): Array[InputPartition] = {
-    val s0 = start.asInstanceOf[GraftOffset].batches
-    val e0 = end.asInstanceOf[GraftOffset].batches
-    // ready dirs are append-only and name-ordered: [s0, e0) is exactly the
-    // batch range this trigger owns
-    Lineage.readyBatchDirs(spark, root).slice(s0, e0)
-      .flatMap(d => GraftPlanning.partitionsFor(spark, d, pushed)).toArray
+    val s0 = start.asInstanceOf[GraftOffset].lastBatch
+    val e0 = end.asInstanceOf[GraftOffset].lastBatch
+    val dirs = readyNumbered().filter { case (n, _) => n > s0 && n <= e0 }
+      .map(_._2)
+    GraftPlanning.partitionsForAll(spark, dirs, pushed)
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(
@@ -267,6 +319,9 @@ class GraftWrite(path: String, inputSchema: StructType, doTruncate: Boolean,
       fs.delete(new Path(s"$path/_lineage"), true)
       fs.delete(new Path(s"$path/_manifest_parquet"), true)
       fs.delete(new Path(s"$path/_manifest_parquet.count"), false)
+      // a truncated batch dir must lose its READY visibility too, or a
+      // concurrent stream would consume the half-written rewrite
+      fs.delete(new Path(s"$path/_graft_batch_ready"), false)
     }
     fs.mkdirs(new Path(s"$path/data"))
     fs.mkdirs(new Path(s"$path/_lineage"))

@@ -7,6 +7,34 @@ import org.scalatest.funsuite.AnyFunSuite
 class BatchTreeSpec extends AnyFunSuite {
   private lazy val spark = graft.SparkTestSession.spark
 
+  test("numeric batch ordering and marker-aware batch-read visibility") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-tree2").toString
+    val cfg = EncoderConfig(chunkTokens = 1 << 10, numPartitions = 1)
+    def put(name: String, ready: Boolean): Unit = {
+      val d = s"$root/$name"
+      Lineage.encodeToDir(spark.createDataset((0 until 10).map(i =>
+        SeqRow(f"$name-$i%04d", Array(i), 1, "s"))), d, cfg)
+      if (ready) Lineage.markBatchReady(spark, d)
+    }
+    put("batch=9", ready = true)
+    put("batch=10", ready = true)
+    put("batch=100", ready = false)
+    // numeric order (lexicographic would sort 100 between 10 and 9 — the
+    // silent duplicate+drop trap for watermark offsets)
+    assert(Lineage.batchDirs(spark, root)
+      .map(d => new org.apache.hadoop.fs.Path(d).getName) ==
+      Seq("batch=9", "batch=10", "batch=100"))
+    assert(Lineage.readyBatchDirs(spark, root)
+      .map(d => new org.apache.hadoop.fs.Path(d).getName) ==
+      Seq("batch=9", "batch=10"))
+    // marker-aware tree: batch reads see READY batches only (an in-flight
+    // half-written batch is invisible)...
+    assert(spark.read.format("graft").load(root).count() == 20L)
+    // ...while the at-rest decode API keeps the full view
+    assert(Lineage.decodeBatchTree(spark, root).count() == 30L)
+  }
+
   test("batch tree decodes as one dataset; pruned variants compose") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-tree").toString
