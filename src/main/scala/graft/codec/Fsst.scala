@@ -441,8 +441,14 @@ object Fsst {
     if (crc.getValue.toInt != TokenCodec.readIntLE(bytes, end))
       throw CorruptException("fsst crc mismatch")
     val r = new Varint.Reader(bytes, 3, end)
-    val rawLen = r.read().toInt
-    if (rawLen < 0) throw CorruptException("fsst raw length")
+    // bound-check in Long BEFORE the narrowing: a varint in [2^32, 2^33)
+    // with small low bits would truncate to a small non-negative Int and
+    // slip past a post-hoc `< 0` guard (reachable only past a CRC32
+    // collision, but the typed-failure contract holds regardless)
+    val rawLenL = r.read()
+    if (rawLenL < 0L || rawLenL > Int.MaxValue)
+      throw CorruptException("fsst raw length")
+    val rawLen = rawLenL.toInt
     if (r.pos + 4 > end) throw TruncatedException
     val storedFp = TokenCodec.readIntLE(bytes, r.pos)
     r.pos += 4

@@ -423,6 +423,9 @@ object Lineage {
       throw new IllegalArgumentException(
         s"$root is a plain lineage dir — use decodeFromDir " +
           "(batch trees hold batch=N subdirectories)")
+    // deliberately the FULL at-rest view (BatchTreeSpec pins it): the
+    // engine-level decode API is the power-user path; marker-aware
+    // visibility for readers lives in the DSv2 source (visibleBatchDirs)
     batchDirs(spark, root)
   }
 
@@ -460,6 +463,40 @@ object Lineage {
     if (!fs.exists(m)) fs.create(m, true).close()
   }
 
+  /** Mark a tree root as STREAMING-PRODUCED, before its first batch is
+    * written. Closes the first-batch visibility hole: while the sink writes
+    * batch 0 (dir + _lineage exist, ready marker not yet), a batch read of
+    * the tree would otherwise see no markers anywhere, conclude "marker-less
+    * at-rest tree", and read the half-written batch. With this marker,
+    * readers apply READY-marker semantics from the stream's very first
+    * trigger. Idempotent. */
+  def markStreamTree(spark: SparkSession, root: String): Unit = {
+    val fs = FileSystem.get(new java.net.URI(root),
+      spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(root))
+    val m = new Path(s"$root/_graft_stream_tree")
+    if (!fs.exists(m)) fs.create(m, true).close()
+  }
+
+  /** True when the root is a streaming-produced tree (see markStreamTree):
+    * readers must then trust only READY-marked batches, even when none is
+    * ready yet. */
+  def isStreamTree(spark: SparkSession, root: String): Boolean = {
+    val fs = FileSystem.get(new java.net.URI(root),
+      spark.sparkContext.hadoopConfiguration)
+    fs.exists(new Path(s"$root/_graft_stream_tree"))
+  }
+
+  /** The batch subdirs a BATCH read of the tree may trust: READY-marked
+    * dirs when the tree is marker-aware (any ready marker present, or the
+    * tree-level stream marker says markers are coming), the full at-rest
+    * listing otherwise. */
+  def visibleBatchDirs(spark: SparkSession, root: String): Seq[String] = {
+    val ready = readyBatchDirs(spark, root)
+    if (ready.nonEmpty || isStreamTree(spark, root)) ready
+    else batchDirs(spark, root)
+  }
+
   /** The READY batch subdirs of a streaming tree, in batch order — the
     * incremental reader's view (batchDirs is the at-rest view). One glob
     * listing for the markers instead of one exists() RPC per batch: over a
@@ -469,11 +506,18 @@ object Lineage {
     val fs = FileSystem.get(new java.net.URI(root),
       spark.sparkContext.hadoopConfiguration)
     // subdir NAMES are unique within one root: compare by name to stay
-    // scheme/authority-normalization-proof
+    // scheme/authority-normalization-proof. A transient I/O error here must
+    // PROPAGATE (failing the trigger so Spark retries): mapping it to "no
+    // ready batches" regresses the stream's watermark and later re-delivers
+    // the whole tree, or plans zero partitions for an offset range Spark
+    // then commits — permanent data loss. Only the no-match/missing-root
+    // cases (globStatus null, FileNotFound) legitimately mean "none ready".
     val markedNames: Set[String] =
-      try fs.globStatus(new Path(s"$root/*/_graft_batch_ready"))
-        .map(_.getPath.getParent.getName).toSet
-      catch { case _: Exception => Set.empty }
+      try {
+        val st = fs.globStatus(new Path(s"$root/*/_graft_batch_ready"))
+        if (st == null) Set.empty[String]
+        else st.map(_.getPath.getParent.getName).toSet
+      } catch { case _: java.io.FileNotFoundException => Set.empty[String] }
     batchDirs(spark, root).filter(d => markedNames.contains(new Path(d).getName))
   }
 

@@ -11,6 +11,22 @@ import graft.io.Corpus
   * check plus the family-A ScalaTest suite (FIXTURES.md). */
 object EngineQueries {
 
+  /** Fingerprint of the corpus-generation + encode path, computed once per
+    * JVM: CRC32 over a canary chunk built driver-side from 8 Corpus rows
+    * through the real ChunkBuilder. Any change to row generation, the codec
+    * selector, framing, or meta encoding changes this value — scratch
+    * encodes keyed on it can never be silently reused across code versions. */
+  lazy val codeFingerprint: String = {
+    val rows = (0L until 8L).map(i => Corpus.row(42L, i))
+    val c = ChunkBuilder.build(0, 0, rows.map(_.doc_id).toArray,
+      rows.map(_.source).toArray, rows.flatMap(_.tokens).toArray,
+      rows.map(_.n_tok).toArray)
+    val crc = new java.util.zip.CRC32
+    crc.update(c.payload)
+    crc.update(c.meta)
+    java.lang.Long.toHexString(crc.getValue)
+  }
+
   /** Synthetic-corpus rows for a data dir, derived from the dir's ACTUAL
     * documents-table row count (parquet footer metadata — O(files), no
     * Spark job) at 10 corpus rows per document: sf0.01 has 500 docs -> the
@@ -319,10 +335,15 @@ object EngineQueries {
     val ds = graft.io.CorpusTable.table(s, n)
       .select(col("doc_id"), col("tokens"), col("n_tok"), col("source"))
       .as[SeqRow]
-    // deterministic scratch path keyed by n: the first call encodes, every
-    // later one (bench re-runs, repeated sessions) RESUMES and pays only
-    // the manifest check — never an unbounded pile of temp copies
-    val out = s"${sys.props("java.io.tmpdir")}/graft_source_q_n$n"
+    // deterministic scratch path keyed by (n, code fingerprint): the first
+    // call encodes, every later one (bench re-runs, repeated sessions)
+    // RESUMES and pays only the manifest check — never an unbounded pile of
+    // temp copies. The fingerprint is a driver-side canary encode of a few
+    // Corpus rows through the real chunk builder, so a corpus-generation or
+    // encoder change in a later build changes the path and re-encodes
+    // instead of silently resuming a stale prior version's output.
+    val out =
+      s"${sys.props("java.io.tmpdir")}/graft_source_q_n${n}_v${EngineQueries.codeFingerprint}"
     Lineage.encodeToDir(ds, out,
       EncoderConfig(chunkTokens = 1 << 17, numPartitions = 4))
     s.read.format("graft").load(out)

@@ -118,17 +118,18 @@ class GraftScan(path: String, pushed: Array[Filter], required: StructType)
       if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/_lineage")))
         Seq(path)
       else {
-        val batches = Lineage.batchDirs(spark, path)
-        if (batches.isEmpty) throw new IllegalArgumentException(
-          s"$path holds neither a lineage table (_lineage/) nor batch=N " +
-            "subdirectories")
-        // visibility rule shared with the streaming reader: when ANY batch
-        // carries the ready marker, this is a marker-aware (streaming-
-        // produced) tree and only READY batches are read — an in-flight
-        // half-written batch is invisible to batch reads too. Marker-less
-        // trees (at-rest, pre-marker era) read in full.
-        val ready = Lineage.readyBatchDirs(spark, path)
-        if (ready.nonEmpty) ready else batches
+        // visibility rule shared with the streaming reader: a marker-aware
+        // tree (any ready marker present, or the tree-level stream marker
+        // promising markers) exposes only READY batches — an in-flight
+        // half-written batch, even the very FIRST one, is invisible to
+        // batch reads too. Marker-less trees (at-rest) read in full.
+        val visible = Lineage.visibleBatchDirs(spark, path)
+        if (visible.isEmpty && Lineage.batchDirs(spark, path).isEmpty &&
+            !Lineage.isStreamTree(spark, path))
+          throw new IllegalArgumentException(
+            s"$path holds neither a lineage table (_lineage/) nor batch=N " +
+              "subdirectories")
+        visible
       }
     GraftPlanning.partitionsForAll(spark, dirs, pushed)
   }

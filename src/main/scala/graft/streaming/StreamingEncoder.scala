@@ -42,6 +42,11 @@ object StreamingEncoder {
       .outputMode("append")
       .foreachBatch { (batch: Dataset[SeqRow], batchId: Long) =>
         val sub = f"$dir/batch=$batchId%05d"
+        // tree-level stream marker BEFORE the batch dir appears: batch
+        // readers then apply READY-marker visibility from the first trigger
+        // (without it, a half-written batch 0 in a marker-less tree would
+        // read as an at-rest tree and be consumed mid-write)
+        Lineage.markStreamTree(batch.sparkSession, dir)
         // READY marker after the batch fully commits (below): downstream
         // incremental readers (readStream.format("graft")) must never
         // consume a half-written batch dir — the marker, not the dir's

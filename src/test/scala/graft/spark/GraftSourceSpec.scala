@@ -164,6 +164,26 @@ class GraftSourceSpec extends AnyFunSuite {
       s"incremental drain saw ${got.size}")
   }
 
+  test("stream-tree marker: in-flight FIRST batch invisible to batch reads") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-tree-mk").toString
+    // the streaming sink writes the tree marker BEFORE the first batch dir
+    Lineage.markStreamTree(spark, root)
+    // a marked-but-empty tree is a legitimate pre-start stream: reads empty,
+    // does not throw "neither lineage nor batch tree"
+    assert(spark.read.format("graft").load(root).count() == 0L)
+    // batch 0 fully written but not yet READY-marked = in-flight: without
+    // the tree marker this would be mistaken for a marker-less at-rest tree
+    // and consumed mid-write; with it, the batch stays invisible
+    Lineage.encodeToDir(spark.createDataset((0 until 50).map(i =>
+      SeqRow(f"d-$i%04d", Array(i), 1, "s"))), s"$root/batch=00000",
+      EncoderConfig(chunkTokens = 1 << 10, numPartitions = 1))
+    assert(spark.read.format("graft").load(root).count() == 0L,
+      "in-flight first batch leaked into a batch read")
+    Lineage.markBatchReady(spark, s"$root/batch=00000")
+    assert(spark.read.format("graft").load(root).count() == 50L)
+  }
+
   test("column pruning has teeth: payload is never decoded when unselected") {
     // corrupt one byte INSIDE the first chunk's token payload on disk
     val m = Lineage.readManifest(spark, dir).collect().minBy(_.offset)
