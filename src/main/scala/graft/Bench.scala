@@ -21,6 +21,7 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.driver.host", "localhost")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.sql.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._

@@ -26,6 +26,7 @@ object SparkEntry {
     "codec_histogram" -> (EngineQueries.codecHistogram _),
     "lineage_roundtrip" -> (EngineQueries.lineageRoundtrip _),
     "graft_source" -> (EngineQueries.graftSource _),
+    "graft_source_stats" -> (EngineQueries.graftSourceStats _),
     "encode_expr" -> (EngineQueries.encodeExpr _),
     "token_stats" -> (EngineQueries.tokenStats _),
     "source_distinct_tokens" -> (EngineQueries.sourceDistinctTokens _),
@@ -105,6 +106,7 @@ object SparkEntry {
     // the DSv2 format("graft") read path: rollup recomputed by DuckDB from
     // the materialized corpus — column-pruned source scan in the hard channel
     "graft_source" -> EngineQueries.graftSourceSql,
+    "graft_source_stats" -> EngineQueries.graftSourceStatsSql,
     "seq_split" -> PackQueries.seqSplitSql,
     "seq_len_hist" -> PackQueries.seqLenHistSql,
     // packing is a sequential fold (not ANSI-SQL-expressible): pinned by an

@@ -355,6 +355,33 @@ object EngineQueries {
       .orderBy(col("source"))
   }
 
+  /** The DSv2 source's MANIFEST-ONLY aggregate pushdown through the hard
+    * channel: a global count/min/max/sum over the graft table answers from
+    * chunk framing rows alone — zero chunks opened (GraftPushdownSpec pins
+    * the plan shape; here DuckDB pins the VALUES against the same corpus).
+    * Uses spark.sql so count(*) reaches the source as CountStar. */
+  def graftSourceStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n = math.min(rowsForDir(dir), 5000L)
+    val ds = graft.io.CorpusTable.table(s, n)
+      .select(col("doc_id"), col("tokens"), col("n_tok"), col("source"))
+      .as[SeqRow]
+    val out =
+      s"${sys.props("java.io.tmpdir")}/graft_source_q_n${n}_v${EngineQueries.codeFingerprint}"
+    Lineage.encodeToDir(ds, out,
+      EncoderConfig(chunkTokens = 1 << 17, numPartitions = 4))
+    s.read.format("graft").load(out).createOrReplaceTempView("graft_stats_t")
+    s.sql(
+      """SELECT count(*) AS n_rows, min(doc_id) AS min_doc_id,
+        |  max(doc_id) AS max_doc_id, sum(n_tok) AS n_tokens
+        |FROM graft_stats_t""".stripMargin)
+  }
+
+  val graftSourceStatsSql: String =
+    """SELECT count(*) AS n_rows, min(doc_id) AS min_doc_id,
+      |  max(doc_id) AS max_doc_id, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+      |FROM read_parquet('/root/repo/data/oracle/corpus_n5000.parquet/*.parquet')""".stripMargin
+
   val graftSourceSql: String =
     """SELECT source, count(*) AS n_rows, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
       |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id

@@ -1,22 +1,26 @@
 package graft.spark
 
 import java.util
+import java.util.OptionalLong
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, UnsafeArrayData}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.SerializableConfiguration
 
-import graft.engine.{ChunkBuilder, EncoderConfig, Lineage, MetaDict, SeqRow}
+import graft.engine.{ChunkBuilder, EncoderConfig, Lineage, MetaDict, SeqRow, TokenSketch}
 
 /** `spark.read.format("graft").load(dir)` — a DataSourceV2 reader over a
   * lineage table dir, making the engine's storage a first-class Spark
@@ -33,6 +37,22 @@ import graft.engine.{ChunkBuilder, EncoderConfig, Lineage, MetaDict, SeqRow}
   *  - column pruning has TEETH: a projection without `tokens` decodes only
   *    the few-KB meta sections per chunk — the compressed payload is never
   *    touched (a per-source rollup over 100 TB reads ~0.1% of the bytes);
+  *  - the scan reports MANIFEST-EXACT statistics (rows + bytes), so a
+  *    small graft table on the build side of a join plans BroadcastHashJoin
+  *    instead of defaulting to a sort-merge;
+  *  - global aggregates the manifest already answers — count(*)/count(col)
+  *    (all columns non-null), min/max(doc_id), sum(n_tok) — push down
+  *    COMPLETELY: the query executes without opening a single chunk
+  *    (the analog of answering from framing, not data — the reference's
+  *    chunked protocol reads lengths without touching payload bytes,
+  *    `tests/test_ppmd7.py:95-146`);
+  *  - a token-containment probe (`option("containsToken", v)`, or
+  *    `array_contains(tokens, v)` folded in by GraftExtensions'
+  *    PushTokenContains rule) prunes chunks through the manifest's
+  *    [min_tok, max_tok] zone map AND the per-chunk TokenSketch;
+  *  - driver-side planning is BOUNDED: trees whose surviving chunk count
+  *    exceeds `graft.plan.maxChunks` fail loudly instead of OOMing the
+  *    driver;
   *  - the dir's shared meta dictionary rides into every partition reader.
   */
 class GraftDataSource extends TableProvider with DataSourceRegister {
@@ -63,17 +83,40 @@ class GraftTable(path: String) extends Table
   override def schema(): StructType = GraftTable.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
+      TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(path)
+    new GraftScanBuilder(path, options)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(path, info)
 }
 
-class GraftScanBuilder(path: String) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+/** Which manifest-only aggregates a pushed Aggregation wants, in output
+  * order. All four graft columns are non-null, so count(col) == count(*). */
+private[spark] sealed trait GraftAggCol
+private[spark] case object AggCountRows extends GraftAggCol
+private[spark] case object AggMinDocId extends GraftAggCol
+private[spark] case object AggMaxDocId extends GraftAggCol
+private[spark] case object AggSumNTok extends GraftAggCol
+
+class GraftScanBuilder(path: String, options: CaseInsensitiveStringMap)
+    extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates with SupportsPushDownLimit {
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = GraftTable.Schema
+  private var limit: Option[Int] = None
+  private var aggCols: Option[Seq[GraftAggCol]] = None
+  // out-of-band containment predicate: "only rows whose tokens contain v"
+  // (exact — the reader filters rows, the planner prunes chunks)
+  private val probe: Option[Int] =
+    Option(options.get("containstoken")).map(_.toInt)
+  private val maxBatchesPerTrigger: Option[Int] =
+    Option(options.get("maxbatchespertrigger")).map { s =>
+      val n = s.toInt
+      require(n > 0, s"maxBatchesPerTrigger must be positive, got $n")
+      n
+    }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     // doc_id comparisons prune CHUNKS via the manifest zone map; rows still
@@ -93,45 +136,131 @@ class GraftScanBuilder(path: String) extends ScanBuilder
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new GraftScan(path, pushed, required)
+
+  // Spark only pushes a limit when no residual filter sits between it and
+  // the scan; we additionally refuse under a containment probe (the reader
+  // drops rows the planner can't count). Partial push: Spark keeps the
+  // global Limit, we just stop planning chunks past it.
+  override def pushLimit(n: Int): Boolean =
+    if (probe.isEmpty && pushed.isEmpty) { limit = Some(n); true } else false
+  override def isPartiallyPushed: Boolean = true
+
+  /** Translate an Aggregation into manifest-only answers, or None. Only a
+    * global (no grouping) aggregate over count/min-doc/max-doc/sum-n_tok is
+    * answerable from chunk framing alone; anything else falls back to the
+    * normal scan. A containment probe blocks pushdown (the manifest counts
+    * rows the probe would drop). */
+  private def translate(agg: Aggregation): Option[Seq[GraftAggCol]] = {
+    if (agg.groupByExpressions.nonEmpty || probe.nonEmpty || pushed.nonEmpty)
+      return None
+    def col1(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case nr: NamedReference if nr.fieldNames.length == 1 =>
+          Some(nr.fieldNames()(0))
+        case _ => None
+      }
+    val cols = agg.aggregateExpressions.map {
+      case _: CountStar => Some(AggCountRows)
+      case c: Count if !c.isDistinct &&
+          col1(c.column).exists(GraftTable.Schema.fieldNames.contains) =>
+        Some(AggCountRows) // every graft column is non-null
+      case m: Min if col1(m.column).contains("doc_id") => Some(AggMinDocId)
+      case m: Max if col1(m.column).contains("doc_id") => Some(AggMaxDocId)
+      case s: Sum if !s.isDistinct && col1(s.column).contains("n_tok") =>
+        Some(AggSumNTok)
+      case _ => None
+    }
+    if (cols.forall(_.isDefined)) Some(cols.flatten.toSeq) else None
+  }
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    translate(agg).isDefined
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    aggCols = translate(agg)
+    aggCols.isDefined
+  }
+
+  override def build(): Scan = aggCols match {
+    case Some(cols) => new GraftAggScan(path, cols)
+    case None =>
+      new GraftScan(path, pushed, required, probe, limit, maxBatchesPerTrigger)
+  }
 }
 
-class GraftScan(path: String, pushed: Array[Filter], required: StructType)
-    extends Scan with Batch {
+class GraftScan(path: String, pushed: Array[Filter], required: StructType,
+                tokenProbe: Option[Int], limit: Option[Int],
+                maxBatchesPerTrigger: Option[Int])
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(
       checkpointLocation: String): streaming.MicroBatchStream =
-    new GraftMicroBatchStream(path, pushed, required)
+    new GraftMicroBatchStream(path, pushed, required, tokenProbe,
+      maxBatchesPerTrigger)
   override def description(): String =
     s"graft:$path prunedFilters=[${pushed.mkString(", ")}] " +
-      s"columns=[${required.fieldNames.mkString(", ")}]"
+      s"columns=[${required.fieldNames.mkString(", ")}]" +
+      tokenProbe.fold("")(v => s" containsToken=$v") +
+      limit.fold("")(n => s" limit=$n")
+
+  // ONE (bounded) driver-side planning pass, shared by estimateStatistics
+  // (optimization time) and planInputPartitions (physical planning): dirs
+  // resolved, manifests unioned and zone-map/sketch pruned in one Spark job
+  private lazy val planned: Array[(String, Lineage.ManifestRow)] = {
+    val spark = SparkSession.active
+    val dirs = GraftPlanning.resolveReadDirs(spark, path)
+    GraftPlanning.prunedManifest(spark, dirs, pushed, tokenProbe)
+  }
+  private lazy val dicts: Map[String, Option[Array[Byte]]] =
+    GraftPlanning.dictsFor(SparkSession.active,
+      planned.iterator.map(_._1).toSet)
+
+  /** Manifest-exact table statistics. numRows is exact for an unpruned
+    * scan and an upper bound under pruning (residual filters may drop
+    * more); sizeInBytes estimates the DECODED in-memory footprint of the
+    * projected columns — raw token bytes are exact (4·n_tokens), strings
+    * are bounded via the zone-map id lengths. Erring high is safe (a too-
+    * small estimate broadcasts a table that doesn't fit). */
+  override def estimateStatistics(): Statistics = {
+    val want = required.fieldNames.toSet
+    var rows = 0L
+    var bytes = 0L
+    planned.foreach { case (_, m) =>
+      rows += m.n_rows
+      var b = 8L * m.n_rows // row object overhead
+      if (want("tokens")) b += m.raw_bytes + 16L * m.n_rows
+      if (want("doc_id"))
+        b += (math.max(m.min_doc_id.length, m.max_doc_id.length) + 24L) * m.n_rows
+      if (want("source")) b += 32L * m.n_rows
+      if (want("n_tok")) b += 4L * m.n_rows
+      bytes += b
+    }
+    new Statistics {
+      override def sizeInBytes(): OptionalLong = OptionalLong.of(bytes)
+      override def numRows(): OptionalLong = OptionalLong.of(rows)
+    }
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val spark = SparkSession.active
-    // a plain lineage dir is one table; a streaming batch TREE
-    // (root/batch=N/...) is the union of its batches, each with its own
-    // manifest and shared dictionary
-    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
-      spark.sparkContext.hadoopConfiguration)
-    val dirs: Seq[String] =
-      if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/_lineage")))
-        Seq(path)
-      else {
-        // visibility rule shared with the streaming reader: a marker-aware
-        // tree (any ready marker present, or the tree-level stream marker
-        // promising markers) exposes only READY batches — an in-flight
-        // half-written batch, even the very FIRST one, is invisible to
-        // batch reads too. Marker-less trees (at-rest) read in full.
-        val visible = Lineage.visibleBatchDirs(spark, path)
-        if (visible.isEmpty && Lineage.batchDirs(spark, path).isEmpty &&
-            !Lineage.isStreamTree(spark, path))
-          throw new IllegalArgumentException(
-            s"$path holds neither a lineage table (_lineage/) nor batch=N " +
-              "subdirectories")
-        visible
-      }
-    GraftPlanning.partitionsForAll(spark, dirs, pushed)
+    // pushed LIMIT n (only ever set with no filters and no probe): plan
+    // chunks in deterministic manifest order until their row counts cover
+    // n — a limit 10 over a million-chunk table plans one chunk. Spark
+    // applies the exact global limit on top (partial pushdown).
+    val rows = limit match {
+      case Some(n) =>
+        val ordered = planned.sortBy { case (d, m) => (d, m.part_id, m.seq) }
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(String, Lineage.ManifestRow)]
+        var cum = 0L
+        val it = ordered.iterator
+        while (cum < n && it.hasNext) {
+          val e = it.next(); out += e; cum += e._2.n_rows
+        }
+        out.toArray
+      case None => planned
+    }
+    rows.map { case (d, m) =>
+      GraftInputPartition(d, m, dicts(d), tokenProbe): InputPartition
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -142,18 +271,45 @@ class GraftScan(path: String, pushed: Array[Filter], required: StructType)
 }
 
 case class GraftInputPartition(dir: String, row: Lineage.ManifestRow,
-                               dict: Option[Array[Byte]]) extends InputPartition
+                               dict: Option[Array[Byte]],
+                               probe: Option[Int] = None)
+    extends InputPartition
 
-/** One copy of dir-level planning (manifest load, zone-map pruning, dict
-  * pickup) shared by the batch scan and the micro-batch stream. */
+/** One copy of dir-level planning (dir resolution, manifest load, zone-map
+  * + sketch pruning, dict pickup) shared by the batch scan, the aggregate
+  * scan, and the micro-batch stream. */
 private[spark] object GraftPlanning {
   import org.apache.spark.sql.functions.col
 
+  /** The lineage dirs a batch read of `path` covers: the dir itself when
+    * it is a plain lineage table, else the VISIBLE batches of a tree
+    * (READY-marked only when the tree is marker-aware — an in-flight
+    * half-written batch, even the very first one, is invisible to batch
+    * reads too; marker-less at-rest trees read in full). */
+  def resolveReadDirs(spark: SparkSession, path: String): Seq[String] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/_lineage"))) Seq(path)
+    else {
+      val visible = Lineage.visibleBatchDirs(spark, path)
+      if (visible.isEmpty && Lineage.batchDirs(spark, path).isEmpty &&
+          !Lineage.isStreamTree(spark, path))
+        throw new IllegalArgumentException(
+          s"$path holds neither a lineage table (_lineage/) nor batch=N " +
+            "subdirectories")
+      visible
+    }
+  }
+
   /** ONE Spark job for the whole dir set: the tagged per-dir manifests are
     * unioned, pruned once, collected once — a deep tree otherwise pays one
-    * sequential driver-side collect per batch at planning time. */
-  def partitionsForAll(spark: SparkSession, dirs: Seq[String],
-                       pushed: Array[Filter]): Array[InputPartition] = {
+    * sequential driver-side collect per batch at planning time. The
+    * collect is BOUNDED by `graft.plan.maxChunks` (session conf): a
+    * pathological tree fails loudly at planning instead of OOMing the
+    * driver building millions of InputPartitions. */
+  def prunedManifest(spark: SparkSession, dirs: Seq[String],
+                     pushed: Array[Filter],
+                     probe: Option[Int]): Array[(String, Lineage.ManifestRow)] = {
     if (dirs.isEmpty) return Array.empty
     import spark.implicits._
     var t = dirs.map(d => Lineage.readManifest(spark, d).map(m => (d, m)))
@@ -173,12 +329,108 @@ private[spark] object GraftPlanning {
         t = t.filter(col("_2.min_doc_id") <= v)
       case _ => ()
     }
-    val rows = t.collect()
-    val dicts: Map[String, Option[Array[Byte]]] =
-      rows.iterator.map(_._1).toSet.iterator
-        .map((d: String) => d -> Lineage.sharedDictBytes(spark, d)).toMap
-    rows.map { case (d, m) => GraftInputPartition(d, m, dicts(d)): InputPartition }
+    probe.foreach { v =>
+      // two levels before any data read: the [min_tok, max_tok] zone map,
+      // then the per-chunk TokenSketch (fails OPEN — an unreadable sketch
+      // costs a wasted decode, never a dropped row)
+      t = t.filter(col("_2.min_tok") <= v && col("_2.max_tok") >= v)
+        .filter(e => TokenSketch.mightContain(e._2.tok_set, e._2.min_tok, v))
+    }
+    val cap = spark.conf.get("graft.plan.maxChunks", "2000000").toInt
+    val rows = t.limit(cap + 1).collect()
+    if (rows.length > cap) throw new IllegalStateException(
+      s"graft planning over ${dirs.size} dir(s) admits more than $cap " +
+        "chunks; prune harder (doc_id/containsToken), read fewer batches, " +
+        "or raise graft.plan.maxChunks")
+    rows
   }
+
+  def dictsFor(spark: SparkSession,
+               dirs: Set[String]): Map[String, Option[Array[Byte]]] =
+    dirs.iterator.map(d => d -> Lineage.sharedDictBytes(spark, d)).toMap
+
+  def partitionsForAll(spark: SparkSession, dirs: Seq[String],
+                       pushed: Array[Filter],
+                       probe: Option[Int] = None): Array[InputPartition] = {
+    val rows = prunedManifest(spark, dirs, pushed, probe)
+    val dicts = dictsFor(spark, rows.iterator.map(_._1).toSet)
+    rows.map { case (d, m) =>
+      GraftInputPartition(d, m, dicts(d), probe): InputPartition
+    }
+  }
+}
+
+/** A completely-pushed global aggregate: the answer comes from the
+  * manifests alone — ONE tiny Spark job over chunk framing rows, zero
+  * chunk opens, one output row. count(*) over 100 TB reads kilobytes. */
+class GraftAggScan(path: String, cols: Seq[GraftAggCol])
+    extends Scan with Batch {
+  override def toBatch: Batch = this
+  override def readSchema(): StructType = StructType(cols.map {
+    case AggCountRows => StructField("count", LongType, nullable = false)
+    case AggMinDocId  => StructField("min_doc_id", StringType, nullable = true)
+    case AggMaxDocId  => StructField("max_doc_id", StringType, nullable = true)
+    case AggSumNTok   => StructField("sum_n_tok", LongType, nullable = true)
+  })
+  override def description(): String =
+    s"graft:$path manifest-only aggregate [${cols.mkString(", ")}]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = SparkSession.active
+    val dirs = GraftPlanning.resolveReadDirs(spark, path)
+    val values: Array[Any] =
+      if (dirs.isEmpty) cols.map {
+        case AggCountRows => 0L
+        case _            => null // SQL min/max/sum over zero rows
+      }.toArray
+      else {
+        import org.apache.spark.sql.functions._
+        val mf = dirs.map(d => Lineage.readManifest(spark, d)).reduce(_ union _)
+        val r = mf.agg(
+          coalesce(sum(col("n_rows").cast("long")), lit(0L)).as("c"),
+          min(col("min_doc_id")).as("mn"), max(col("max_doc_id")).as("mx"),
+          sum(col("n_tokens")).as("st")).collect()(0)
+        cols.map {
+          case AggCountRows => r.getLong(0): Any
+          case AggMinDocId  => if (r.isNullAt(1)) null else r.getString(1)
+          case AggMaxDocId  => if (r.isNullAt(2)) null else r.getString(2)
+          case AggSumNTok   => if (r.isNullAt(3)) null else r.getLong(3): Any
+        }.toArray
+      }
+    Array(GraftAggPartition(values.map {
+      case null      => null
+      case l: Long   => java.lang.Long.valueOf(l)
+      case s: String => s
+    }))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new GraftAggRowReader(p.asInstanceOf[GraftAggPartition])
+    }
+}
+
+case class GraftAggPartition(values: Array[AnyRef]) extends InputPartition
+
+class GraftAggRowReader(p: GraftAggPartition)
+    extends PartitionReader[InternalRow] {
+  private var done = false
+  override def next(): Boolean = if (done) false else { done = true; true }
+  override def get(): InternalRow = {
+    val out = new GenericInternalRow(p.values.length)
+    var i = 0
+    while (i < p.values.length) {
+      p.values(i) match {
+        case null               => out.setNullAt(i)
+        case l: java.lang.Long  => out.setLong(i, l.longValue())
+        case s: String          => out.update(i, UTF8String.fromString(s))
+      }
+      i += 1
+    }
+    out
+  }
+  override def close(): Unit = ()
 }
 
 // ---- incremental (micro-batch) read over a batch tree ----------------------
@@ -198,15 +450,21 @@ case class GraftOffset(lastBatch: Long)
   * NUMBER among READY subdirs (gated on the `_graft_batch_ready` marker,
   * so a half-written batch is never consumed and then skipped forever),
   * and each trigger plans exactly the chunks of the newly readied
-  * batches. Batches must become ready in ascending number order — the
-  * streaming sink guarantees it (sequential foreachBatch); manual trees
-  * marking out of order would skip the late-marked earlier batch. Produce
-  * with StreamingEncoder.writeToLineageDir, consume here — the encoded
-  * corpus becomes an append-only stream with the same pruning and column
-  * semantics as the batch source. */
+  * batches. Admission control: `option("maxBatchesPerTrigger", n)` caps a
+  * trigger at n batches, so catching up on a deep tree is n-batch
+  * increments with exact checkpointed offsets instead of one giant batch;
+  * Trigger.AvailableNow snapshots the ready frontier at start and drains
+  * exactly to it. Batches must become ready in ascending number order —
+  * the streaming sink guarantees it; manual trees marking out of order
+  * would skip the late-marked earlier batch. Produce with
+  * `writeStream.format("graft")` (or StreamingEncoder.writeToLineageDir),
+  * consume here — the encoded corpus becomes an append-only stream with
+  * the same pruning and column semantics as the batch source. */
 class GraftMicroBatchStream(root: String, pushed: Array[Filter],
-                            required: StructType)
-    extends streaming.MicroBatchStream {
+                            required: StructType, probe: Option[Int],
+                            maxBatchesPerTrigger: Option[Int])
+    extends streaming.MicroBatchStream
+    with SupportsAdmissionControl with SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.Offset
   private def spark = SparkSession.active
 
@@ -221,7 +479,7 @@ class GraftMicroBatchStream(root: String, pushed: Array[Filter],
     if (fs.exists(new org.apache.hadoop.fs.Path(s"$root/_lineage")))
       throw new IllegalArgumentException(
         s"$root is a plain lineage dir — the streaming source reads batch " +
-          "trees (StreamingEncoder.writeToLineageDir output)")
+          "trees (writeStream.format(\"graft\") output)")
   }
 
   /** Ready batches as (number, dir), number-ordered. Unnumbered dirs in a
@@ -234,8 +492,31 @@ class GraftMicroBatchStream(root: String, pushed: Array[Filter],
       (n, d)
     }.sortBy(_._1)
 
+  // Trigger.AvailableNow: the frontier is FROZEN at stream start — batches
+  // readied while draining belong to the next run, so the drain terminates
+  private var availableNowCap: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(
+      readyNumbered().lastOption.map(_._1).getOrElse(-1L))
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxBatchesPerTrigger.map(n => ReadLimit.maxFiles(n))
+      .getOrElse(ReadLimit.allAvailable())
+
   override def initialOffset(): Offset = GraftOffset(-1L)
-  override def latestOffset(): Offset =
+  override def latestOffset(): Offset = throw new UnsupportedOperationException(
+    "latestOffset(start, limit) drives this admission-controlled stream")
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s0 = start.asInstanceOf[GraftOffset].lastBatch
+    var pending = readyNumbered().map(_._1).filter(_ > s0)
+    availableNowCap.foreach(cap => pending = pending.filter(_ <= cap))
+    val admitted = limit match {
+      case f: ReadMaxFiles => pending.take(f.maxFiles())
+      case _               => pending
+    }
+    GraftOffset(admitted.lastOption.getOrElse(s0))
+  }
+  override def reportLatestOffset(): Offset =
     GraftOffset(readyNumbered().lastOption.map(_._1).getOrElse(-1L))
   override def deserializeOffset(json: String): Offset =
     """"lastBatch"\s*:\s*(-?\d+)""".r.findFirstMatchIn(json) match {
@@ -252,18 +533,11 @@ class GraftMicroBatchStream(root: String, pushed: Array[Filter],
     val e0 = end.asInstanceOf[GraftOffset].lastBatch
     val dirs = readyNumbered().filter { case (n, _) => n > s0 && n <= e0 }
       .map(_._2)
-    GraftPlanning.partitionsForAll(spark, dirs, pushed)
+    GraftPlanning.partitionsForAll(spark, dirs, pushed, probe)
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(
       new SerializableConfiguration(spark.sparkContext.hadoopConfiguration),
-      required)
-}
-
-class GraftReaderFactory(conf: SerializableConfiguration,
-                         required: StructType) extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new GraftPartitionReader(conf.value, p.asInstanceOf[GraftInputPartition],
       required)
 }
 
@@ -287,7 +561,15 @@ class GraftReaderFactory(conf: SerializableConfiguration,
   *  - overwrite truncates the table dir first (driver-side, once);
   *  - an already-published shared meta dictionary is honored; fresh dirs
   *    write self-contained chunks;
-  *  - `option("chunkTokens", n)` tunes the chunk budget. */
+  *  - `option("chunkTokens", n)` tunes the chunk budget.
+  *
+  * `df.writeStream.format("graft")` writes the STREAMING batch-tree
+  * layout: each epoch lands in `dir/batch=<epoch>/` through the same
+  * per-partition committers, the tree-level stream marker is published at
+  * stream start (first-batch visibility), and the epoch's
+  * `_graft_batch_ready` marker is written by the driver only after every
+  * partition of the epoch committed — the exactly-once visibility point
+  * the incremental reader consumes. */
 class GraftWriteBuilder(path: String, info: LogicalWriteInfo)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
@@ -305,12 +587,12 @@ class GraftWrite(path: String, inputSchema: StructType, doTruncate: Boolean,
                  chunkTokens: Int, resume: Boolean)
     extends Write with BatchWrite {
   override def toBatch: BatchWrite = this
+  override def toStreaming: StreamingWrite =
+    new GraftStreamingWrite(path, inputSchema, chunkTokens)
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory = {
-    require(inputSchema.fieldNames.toSeq == GraftTable.Schema.fieldNames.toSeq,
-      s"graft sink needs columns [${GraftTable.Schema.fieldNames.mkString(", ")}], " +
-        s"got [${inputSchema.fieldNames.mkString(", ")}]")
+    GraftWrite.requireGraftSchema(inputSchema)
     val spark = SparkSession.active
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
       spark.sparkContext.hadoopConfiguration)
@@ -347,6 +629,63 @@ class GraftWrite(path: String, inputSchema: StructType, doTruncate: Boolean,
   // only committed partitions — exactly the resume contract
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+object GraftWrite {
+  def requireGraftSchema(s: StructType): Unit =
+    require(s.fieldNames.toSeq == GraftTable.Schema.fieldNames.toSeq,
+      s"graft sink needs columns [${GraftTable.Schema.fieldNames.mkString(", ")}], " +
+        s"got [${s.fieldNames.mkString(", ")}]")
+}
+
+/** Streaming sink: one batch subdir per epoch, READY-marked by the driver
+  * at epoch commit. Epoch re-runs (restart between task success and epoch
+  * commit) rewrite the same `batch=<epoch>` dir with RESUME semantics —
+  * already-committed partitions are skipped, which is exactly-once when
+  * the upstream micro-batch replays deterministically (Spark's replayable-
+  * source contract; same caveat as batch resume). */
+class GraftStreamingWrite(path: String, inputSchema: StructType,
+                          chunkTokens: Int) extends StreamingWrite {
+  private def epochDir(epochId: Long): String = f"$path/batch=$epochId%05d"
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    GraftWrite.requireGraftSchema(inputSchema)
+    val spark = SparkSession.active
+    // the tree-level marker goes down at STREAM START, before any batch
+    // dir exists: batch readers of this tree apply READY-marker visibility
+    // from the first trigger on (never consume an in-flight epoch)
+    Lineage.markStreamTree(spark, path)
+    new GraftStreamingWriterFactory(path,
+      new SerializableConfiguration(spark.sparkContext.hadoopConfiguration),
+      chunkTokens)
+  }
+
+  override def commit(epochId: Long,
+                      messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+    // an all-empty epoch writes no files; only READY-mark dirs that hold a
+    // lineage (markers on phantom dirs would be orphans anyway — readers
+    // require _lineage — but don't litter)
+    val d = epochDir(epochId)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$d/_lineage")))
+      Lineage.markBatchReady(spark, d)
+  }
+  override def abort(epochId: Long,
+                     messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+class GraftStreamingWriterFactory(root: String, conf: SerializableConfiguration,
+                                  chunkTokens: Int)
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    // resume semantics per epoch dir: a retried/re-run epoch skips its
+    // already-committed partitions instead of duplicating them
+    new GraftDataWriter(f"$root/batch=$epochId%05d", conf.value, partitionId,
+      taskId, None, chunkTokens, resume = true)
 }
 
 case class GraftCommitMessage(pid: Int, committed: Boolean)
@@ -427,6 +766,13 @@ class GraftDataWriter(dir: String, conf: Configuration, pid: Int,
   override def close(): Unit = ()
 }
 
+class GraftReaderFactory(conf: SerializableConfiguration,
+                         required: StructType) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new GraftPartitionReader(conf.value, p.asInstanceOf[GraftInputPartition],
+      required)
+}
+
 class GraftPartitionReader(conf: Configuration, p: GraftInputPartition,
                            required: StructType)
     extends PartitionReader[InternalRow] {
@@ -444,16 +790,23 @@ class GraftPartitionReader(conf: Configuration, p: GraftInputPartition,
   private val needDocId = ordinals.contains(0)
   private val dict = p.dict.map(MetaDict.fromBytes).orNull
   private val chunk = Lineage.readChunk(conf, p.dir, p.row)
-  private val it: Iterator[InternalRow] =
-    if (needTokens)
-      ChunkBuilder.open(chunk, dict)
+  private val it: Iterator[InternalRow] = p.probe match {
+    case Some(v) =>
+      // containment probe: EXACT row filter (pruning admitted this chunk as
+      // a MAYBE) — the payload must decode regardless of the projection
+      ChunkBuilder.open(chunk, dict).filter(_.tokens.contains(v))
         .map(r => project(r.doc_id, r.tokens, r.n_tok, r.source))
-    else if (needDocId) // payload never decoded
-      ChunkBuilder.openSide(chunk, dict)
-        .map { case (id, n, src) => project(id, null, n, src) }
-    else // neither payload NOR the doc_id section (the dominant meta cost)
-      ChunkBuilder.openMeta(chunk)
-        .map { case (src, n) => project(null, null, n, src) }
+    case None =>
+      if (needTokens)
+        ChunkBuilder.open(chunk, dict)
+          .map(r => project(r.doc_id, r.tokens, r.n_tok, r.source))
+      else if (needDocId) // payload never decoded
+        ChunkBuilder.openSide(chunk, dict)
+          .map { case (id, n, src) => project(id, null, n, src) }
+      else // neither payload NOR the doc_id section (the dominant meta cost)
+        ChunkBuilder.openMeta(chunk)
+          .map { case (src, n) => project(null, null, n, src) }
+  }
 
   private def project(id: String, toks: Array[Int], n: Int,
                       src: String): InternalRow = {

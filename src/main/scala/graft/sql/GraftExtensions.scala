@@ -26,6 +26,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         builder))
     }
     ext.injectOptimizerRule(_ => FoldDecodeEncode)
+    // operator-optimization time (before V2 scan pushdown):
+    // array_contains(tokens, v) filters over a graft relation become
+    // planning-time chunk-pruning probes via the containsToken read option
+    ext.injectOptimizerRule(_ => PushTokenContains)
   }
 }
 

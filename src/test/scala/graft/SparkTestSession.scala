@@ -12,6 +12,7 @@ object SparkTestSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")
+      .config("spark.sql.extensions", "graft.sql.GraftExtensions")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

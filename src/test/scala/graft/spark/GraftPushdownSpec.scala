@@ -1,0 +1,162 @@
+package graft.spark
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.{array_contains, col, lit}
+import graft.engine.{EncoderConfig, Lineage, SeqRow}
+
+/** Round-5 DSv2 ergonomics: manifest statistics, manifest-only aggregate
+  * pushdown, limit pushdown, token-containment chunk pruning, and the
+  * bounded-planning cap. */
+class GraftPushdownSpec extends AnyFunSuite {
+  private lazy val spark = graft.SparkTestSession.spark
+
+  private lazy val (dir, rows) = {
+    val rs = (0 until 1500).map { i =>
+      SeqRow(f"doc-$i%08d", Array.tabulate(12)(t => (i * 13 + t) % 50000), 12,
+        if (i % 5 == 0) "books" else "web")
+    }
+    val d = java.nio.file.Files.createTempDirectory("graft-push").toString
+    import spark.implicits._
+    Lineage.encodeToDir(spark.createDataset(rs), d,
+      EncoderConfig(chunkTokens = 1 << 11, numPartitions = 3))
+    (d, rs)
+  }
+
+  private def scanPartitions(df: org.apache.spark.sql.DataFrame): Int = {
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty, "no BatchScanExec in plan")
+    scans.map(_.inputPartitions.size).sum
+  }
+
+  test("scan reports manifest-exact statistics; small graft table broadcasts") {
+    val df = spark.read.format("graft").load(dir)
+    val stats = df.queryExecution.optimizedPlan.stats
+    // exact row count from the manifest; size is a conservative in-memory
+    // estimate — nonzero and well under the broadcast threshold here
+    assert(stats.sizeInBytes > 0 && stats.sizeInBytes < 10L * 1024 * 1024,
+      s"sizeInBytes=${stats.sizeInBytes}")
+    import spark.implicits._
+    val big = spark.range(0, 50000).map(i => f"doc-${i % 3000}%08d")
+      .toDF("doc_id")
+    // NO broadcast hint: statistics alone must make the graft side the
+    // broadcast build side
+    val joined = big.join(df.select("doc_id", "n_tok"), "doc_id")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected BroadcastHashJoin from reported stats, got:\n$plan")
+    assert(joined.count() == 25500L) // doc-0..1499 hit, 17 occurrences each
+  }
+
+  test("count/min/max/sum push down to a manifest-only scan: zero chunk reads") {
+    val df = spark.read.format("graft").load(dir)
+    df.createOrReplaceTempView("graft_push_t")
+    val q = spark.sql(
+      """SELECT count(*) AS c, count(source) AS cs, min(doc_id) AS mn,
+        |       max(doc_id) AS mx, sum(n_tok) AS st FROM graft_push_t""".stripMargin)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("manifest-only aggregate"),
+      s"aggregate not pushed to the manifest:\n$plan")
+    val r = q.collect()(0)
+    assert(r.getLong(0) == 1500L && r.getLong(1) == 1500L)
+    assert(r.getString(2) == "doc-00000000" && r.getString(3) == "doc-00001499")
+    assert(r.getLong(4) == 1500L * 12)
+    // grouped/filtered aggregates are NOT manifest-answerable -> normal scan,
+    // same numbers as the parquet-free ground truth
+    val g = spark.sql(
+      "SELECT source, count(*) c FROM graft_push_t GROUP BY source")
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(g == Map("books" -> 300L, "web" -> 1200L))
+    val f = spark.sql(
+      "SELECT count(*) FROM graft_push_t WHERE doc_id >= 'doc-00001490'")
+      .collect()(0).getLong(0)
+    assert(f == 10L)
+    // empty table: count 0, min/max/sum NULL (SQL over zero rows)
+    val empty = java.nio.file.Files.createTempDirectory("graft-empty").toString
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(empty, "_lineage"))
+    spark.read.format("graft").load(empty)
+      .createOrReplaceTempView("graft_empty_t")
+    val e = spark.sql(
+      "SELECT count(*), min(doc_id), max(doc_id), sum(n_tok) FROM graft_empty_t")
+      .collect()(0)
+    assert(e.getLong(0) == 0L && e.isNullAt(1) && e.isNullAt(2) && e.isNullAt(3))
+  }
+
+  test("limit pushdown plans only the chunks that cover the limit") {
+    val df = spark.read.format("graft").load(dir)
+    val total = df.rdd.getNumPartitions
+    assert(total > 3)
+    val limited = df.limit(5)
+    assert(scanPartitions(limited) == 1,
+      "limit 5 must plan exactly one chunk")
+    assert(limited.collect().length == 5)
+    // a filter blocks limit pushdown (residual rows can't be pre-counted):
+    // every zone-map-surviving chunk stays planned
+    val f = df.filter(col("doc_id") >= "doc-00000000").limit(5)
+    assert(f.collect().length == 5)
+  }
+
+  test("containsToken option prunes chunks AND filters rows exactly") {
+    val df = spark.read.format("graft").load(dir)
+    val total = df.rdd.getNumPartitions
+    val probe = rows(1200).tokens(0) // present in few rows
+    val expected = rows.filter(_.tokens.contains(probe)).map(_.doc_id).toSet
+    assert(expected.nonEmpty && expected.size < 10)
+    val probed = spark.read.format("graft")
+      .option("containsToken", probe.toString).load(dir)
+    assert(probed.rdd.getNumPartitions < total,
+      s"probe planned ${probed.rdd.getNumPartitions} of $total chunks")
+    assert(probed.select("doc_id").collect().map(_.getString(0)).toSet
+      == expected)
+    // an OOV probe plans ZERO chunks
+    val oov = spark.read.format("graft")
+      .option("containsToken", "49999999").load(dir)
+    assert(oov.rdd.getNumPartitions == 0 && oov.count() == 0L)
+  }
+
+  test("array_contains(tokens, v) filter prunes chunks through pure SQL") {
+    val df = spark.read.format("graft").load(dir)
+    val total = df.rdd.getNumPartitions
+    val probe = rows(1200).tokens(0)
+    val expected = rows.filter(_.tokens.contains(probe)).map(_.doc_id).toSet
+    val filtered = df.filter(array_contains(col("tokens"), lit(probe)))
+    assert(filtered.rdd.getNumPartitions < total,
+      s"PushTokenContains did not prune: " +
+        s"${filtered.rdd.getNumPartitions} of $total chunks planned")
+    assert(filtered.select("doc_id").collect().map(_.getString(0)).toSet
+      == expected)
+    // a DISJUNCT must NOT prune (rows from any chunk can satisfy the OR)
+    val ored = df.filter(
+      array_contains(col("tokens"), lit(probe)) || col("source") === "books")
+    assert(ored.rdd.getNumPartitions == total)
+    assert(ored.count() ==
+      rows.count(r => r.tokens.contains(probe) || r.source == "books").toLong)
+  }
+
+  test("graft_source_stats driver query rides the manifest-only plan") {
+    val df = graft.queries.EngineQueries.graftSourceStats(spark,
+      "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("manifest-only aggregate"),
+      s"driver query fell off the pushed path:\n$plan")
+    val r = df.collect()(0)
+    assert(r.getLong(0) == 5000L && r.getLong(3) > 0L)
+    assert(r.getString(1) == "doc-000000000000")
+  }
+
+  test("planning is bounded: graft.plan.maxChunks fails loudly, never OOMs") {
+    spark.conf.set("graft.plan.maxChunks", "2")
+    try {
+      val e = intercept[Exception] {
+        spark.read.format("graft").load(dir).collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+      assert(msgs(e).exists(m => m != null && m.contains("graft.plan.maxChunks")),
+        s"unexpected failure: $e")
+    } finally spark.conf.unset("graft.plan.maxChunks")
+    assert(spark.read.format("graft").load(dir).count() == 1500L)
+  }
+}

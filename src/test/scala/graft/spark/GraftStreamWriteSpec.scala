@@ -1,0 +1,135 @@
+package graft.spark
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import graft.engine.{EncoderConfig, Lineage, SeqRow}
+
+/** Round-5 streaming surface: admission control on the incremental reader
+  * (`maxBatchesPerTrigger`), and the native `writeStream.format("graft")`
+  * sink (STREAMING_WRITE) — epoch-per-batch-dir, READY-marked at commit. */
+class GraftStreamWriteSpec extends AnyFunSuite {
+  private lazy val spark = graft.SparkTestSession.spark
+
+  private def rowsOf(b: Int, n: Int = 200): Seq[SeqRow] =
+    (0 until n).map(i => SeqRow(f"doc-$b%02d-$i%06d", Array(b * 1000 + i), 1, "s"))
+
+  test("maxBatchesPerTrigger: catch-up is incremental with exact offsets") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-adm").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-adm-ck").toString
+    val cfg = EncoderConfig(chunkTokens = 1 << 10, numPartitions = 1)
+    (0 until 5).foreach { b =>
+      val d = f"$root/batch=$b%05d"
+      Lineage.encodeToDir(spark.createDataset(rowsOf(b)), d, cfg)
+      Lineage.markBatchReady(spark, d)
+    }
+    val triggers = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val got = scala.collection.mutable.Set.empty[String]
+    val q = spark.readStream.format("graft")
+      .option("maxBatchesPerTrigger", "2").load(root)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val ids = df.collect().map(_.getString(0))
+        triggers += ids.length.toLong
+        got ++= ids; ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    // 5 ready batches, 2 per trigger -> exactly 3 triggers (2+2+1 batches)
+    assert(triggers.toSeq == Seq(400L, 400L, 200L),
+      s"trigger sizes were ${triggers.toSeq}")
+    assert(got.size == 1000)
+    // checkpointed resume: a 6th batch arrives, the next run delivers ONLY it
+    val d5 = f"$root/batch=${5}%05d"
+    Lineage.encodeToDir(spark.createDataset(rowsOf(5)), d5, cfg)
+    Lineage.markBatchReady(spark, d5)
+    got.clear(); triggers.clear()
+    val q2 = spark.readStream.format("graft")
+      .option("maxBatchesPerTrigger", "2").load(root)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        got ++= df.collect().map(_.getString(0)); ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination(120000)
+    assert(got.size == 200 && got.forall(_.startsWith("doc-05")),
+      s"incremental catch-up saw ${got.size}")
+  }
+
+  test("writeStream.format(graft): epochs land as READY batch dirs, exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft-sw").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sw-ck").toString
+    val in = MemoryStream[SeqRow]
+    def run(): Unit = {
+      val q = in.toDS().toDF()
+        .writeStream.format("graft")
+        .option("checkpointLocation", ckpt)
+        .option("chunkTokens", "1024")
+        .trigger(Trigger.AvailableNow())
+        .start(out)
+      q.awaitTermination(120000)
+      ()
+    }
+    in.addData(rowsOf(0): _*)
+    run()
+    // the tree marker went down at stream start, the epoch is READY-marked
+    assert(Lineage.isStreamTree(spark, out))
+    assert(Lineage.readyBatchDirs(spark, out).size == 1)
+    val r1 = spark.read.format("graft").load(out)
+    assert(r1.count() == 200L)
+    // second run: only the NEW epoch lands (checkpoint resumes), appended
+    in.addData(rowsOf(1): _*)
+    run()
+    assert(Lineage.readyBatchDirs(spark, out).size == 2)
+    val r2 = spark.read.format("graft").load(out)
+    assert(r2.count() == 400L)
+    val ids = r2.select("doc_id").collect().map(_.getString(0)).toSet
+    assert(ids == (rowsOf(0) ++ rowsOf(1)).map(_.doc_id).toSet)
+    // rows roundtrip bit-identically through the streamed tree
+    val back = Lineage.decodeBatchTree(spark, out).collect()
+      .map(r => r.doc_id -> r).toMap
+    (rowsOf(0) ++ rowsOf(1)).foreach(r =>
+      assert(back(r.doc_id).tokens.sameElements(r.tokens)))
+  }
+
+  test("graft-to-graft streaming copy: exactly-once, incremental, checkpointed") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft-cp-src").toString
+    val dst = java.nio.file.Files.createTempDirectory("graft-cp-dst").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cp-ck").toString
+    val cfg = EncoderConfig(chunkTokens = 1 << 10, numPartitions = 1)
+    def feed(b: Int): Unit = {
+      val d = f"$src/batch=$b%05d"
+      Lineage.encodeToDir(spark.createDataset(rowsOf(b)), d, cfg)
+      Lineage.markBatchReady(spark, d)
+    }
+    def copy(): Unit = {
+      val q = spark.readStream.format("graft").load(src)
+        .writeStream.format("graft")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start(dst)
+      q.awaitTermination(120000)
+      ()
+    }
+    feed(0); feed(1)
+    copy()
+    assert(spark.read.format("graft").load(dst).count() == 400L)
+    // re-running with nothing new must append NOTHING (exactly-once)
+    copy()
+    assert(spark.read.format("graft").load(dst).count() == 400L)
+    // a new source batch flows through incrementally
+    feed(2)
+    copy()
+    val d = spark.read.format("graft").load(dst)
+    assert(d.count() == 600L)
+    assert(d.select("doc_id").collect().map(_.getString(0)).toSet ==
+      (0 to 2).flatMap(rowsOf(_)).map(_.doc_id).toSet)
+  }
+}
