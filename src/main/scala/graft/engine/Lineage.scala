@@ -549,6 +549,45 @@ object Lineage {
     } finally in.close()
   }
 
+  /** Meta-only chunk fetch: parse the payload length from the frame head,
+    * SEEK past the payload, and read just the meta section — the payload's
+    * bytes never leave the disk (two small range reads instead of one
+    * `m.length` read; on an object store, two range GETs). This is what
+    * gives column pruning teeth at the I/O level: a side-column rollup over
+    * 100 TB transfers the few-KB meta sections, not the 8-GB-per-partition
+    * payloads it would otherwise read and skip. Returns a chunk whose
+    * `payload` is EMPTY — callers must only open side/meta iterators on it. */
+  def readChunkMeta(conf: Configuration, dir: String, m: ManifestRow): EncodedChunk = {
+    val fs = FileSystem.get(new java.net.URI(dir), conf)
+    val in = fs.open(new Path(s"$dir/data/${pn(m.part_id)}.graft"))
+    try {
+      in.seek(m.offset)
+      val hdr = new Array[Byte](math.min(10L, m.length).toInt)
+      in.readFully(hdr)
+      val r = new graft.codec.Varint.Reader(hdr)
+      val pLen = r.read()
+      // bound the arithmetic in Long BEFORE any allocation/seek: a corrupt
+      // frame must fail typed, never allocate from hostile lengths
+      val metaAt = r.pos.toLong + pLen
+      val metaBytes = m.length - metaAt
+      if (pLen < 0 || metaAt < 0 || metaBytes < 1 || metaBytes > m.length)
+        throw graft.codec.CorruptException(
+          s"chunk frame payload length $pLen out of bounds (frame ${m.length})")
+      in.seek(m.offset + metaAt)
+      val rest = new Array[Byte](metaBytes.toInt)
+      in.readFully(rest)
+      val r2 = new graft.codec.Varint.Reader(rest)
+      val mLen = r2.read()
+      if (mLen < 0 || mLen > rest.length - r2.pos)
+        throw graft.codec.CorruptException(
+          s"chunk frame meta length $mLen out of bounds (${rest.length})")
+      val meta = java.util.Arrays.copyOfRange(rest, r2.pos, r2.pos + mLen.toInt)
+      EncodedChunk(m.chunk_id, m.part_id, m.seq, m.codec, m.n_rows, m.n_tokens,
+        m.raw_bytes, m.enc_bytes, m.crc32, m.min_doc_id, m.max_doc_id,
+        m.min_tok, m.max_tok, m.tok_set, Array.emptyByteArray, meta)
+    } finally in.close()
+  }
+
   /** The dir's serialized shared meta dictionary, if published — public for
     * external readers that open chunks themselves. */
   def sharedDictBytes(spark: SparkSession, dir: String): Option[Array[Byte]] =

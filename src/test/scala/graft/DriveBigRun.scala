@@ -67,6 +67,33 @@ object DriveBigRun {
     val mOov = Lineage.manifestForToken(spark, dir, oov).count()
     println(f"BIG4 compact=$compacted%d parts in $tCmp%.1fs; sketch probe tok=$probe -> $mTok/$nChunks chunks (manifest-only, $tPrune%.1fs); oov probe -> $mOov chunks")
 
+    // round-5: the DSv2 source at the same scale point — planning cost over
+    // thousands of chunks broken out from read cost, plus each read shape
+    import org.apache.spark.sql.functions.{col, size, sum}
+    val t4 = System.nanoTime()
+    val g = spark.read.format("graft").load(dir)
+    val planned = g.rdd.getNumPartitions // forces the manifest plan+collect
+    val tPlan = (System.nanoTime() - t4) / 1e9
+    val t5 = System.nanoTime()
+    val cnt = g.count() // manifest-only aggregate pushdown: zero chunk reads
+    val tCnt = (System.nanoTime() - t5) / 1e9
+    println(f"BIG5 dsv2 planning $planned%d chunk partitions in $tPlan%.2fs; pushed count(*)=$cnt%d in $tCnt%.2fs")
+
+    val t6 = System.nanoTime()
+    val gTokens = g.select(size(col("tokens")).as("n"))
+      .agg(sum(col("n").cast("long"))).as[Long].first() // full payload decode
+    val tFull = (System.nanoTime() - t6) / 1e9
+    val t7 = System.nanoTime()
+    val metaTok = g.groupBy("source").agg(sum(col("n_tok").cast("long")).as("t"))
+      .agg(sum(col("t"))).as[Long].first() // column-pruned: meta only
+    val tMeta = (System.nanoTime() - t7) / 1e9
+    val t8 = System.nanoTime()
+    val pruned = g.filter(col("doc_id") === lo)
+    val prunedParts = pruned.rdd.getNumPartitions
+    val prunedRows = pruned.count()
+    val tPruned = (System.nanoTime() - t8) / 1e9
+    println(f"BIG6 dsv2 full-decode ${tFull}%.1fs (${gTokens / tFull / 1e6}%.0fM tok/s, match=${gTokens == nTokens}); column-pruned rollup ${tMeta}%.1fs (match=${metaTok == nTokens}); doc_id probe -> $prunedParts/$nChunks chunks, $prunedRows row(s), ${tPruned}%.2fs")
+
     // cleanup the ~5GB scratch
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     spark.stop()

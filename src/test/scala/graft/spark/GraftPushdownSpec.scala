@@ -135,6 +135,17 @@ class GraftPushdownSpec extends AnyFunSuite {
       rows.count(r => r.tokens.contains(probe) || r.source == "books").toLong)
   }
 
+  test("readChunkMeta seeks past the payload: meta identical, payload empty") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    Lineage.readManifest(spark, dir).collect().foreach { m =>
+      val full = Lineage.readChunk(conf, dir, m)
+      val metaOnly = Lineage.readChunkMeta(conf, dir, m)
+      assert(metaOnly.payload.isEmpty)
+      assert(java.util.Arrays.equals(metaOnly.meta, full.meta),
+        s"meta diverges for chunk ${m.chunk_id}")
+    }
+  }
+
   test("graft_source_stats driver query rides the manifest-only plan") {
     val df = graft.queries.EngineQueries.graftSourceStats(spark,
       "/root/testdata/sf0.001")
