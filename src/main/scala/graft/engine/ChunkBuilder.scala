@@ -127,6 +127,47 @@ object ChunkBuilder {
     }
   }
 
+  /** Columnar view of a decoded chunk: the FLAT token array + per-row
+    * lengths, exactly as the codec produced them — the shape a vectorized
+    * reader consumes with one bulk copy per batch instead of one slice
+    * allocation per row (`open` pays a copyOfRange + SeqRow + two boxed
+    * strings per row; over 10^12 rows that per-row tax dominates the
+    * codec). `tokens` is null when withTokens = false (payload untouched);
+    * `docIds` null when withDocIds = false (doc_id section — the dominant
+    * meta cost — untouched). Fully validated up front: token total, row
+    * count, and every source index. */
+  final case class ChunkColumns(docIds: Array[String], rowLens: Array[Int],
+                                srcIdx: Array[Int], srcDict: Array[String],
+                                tokens: Array[Int], nRows: Int)
+
+  def openColumns(c: EncodedChunk, sharedMeta: MetaDict, withTokens: Boolean,
+                  withDocIds: Boolean): ChunkColumns = {
+    val tokens =
+      if (!withTokens) null
+      else {
+        val t = TokenCodec.decodeOrThrow(c.payload)
+        if (t.length.toLong != c.n_tokens)
+          throw CorruptException(s"chunk ${c.chunk_id}: token count mismatch")
+        t
+      }
+    val (rowLens, srcIdx, srcDict, docIds) = openSections(c, sharedMeta,
+      withDocIds)
+    if (tokens != null) {
+      var s = 0L
+      var i = 0
+      while (i < rowLens.length) { s += rowLens(i); i += 1 }
+      if (s != tokens.length)
+        throw CorruptException(s"chunk ${c.chunk_id}: row overrun")
+    }
+    var i = 0
+    while (i < srcIdx.length) {
+      if (srcIdx(i) < 0 || srcIdx(i) >= srcDict.length)
+        throw CorruptException(s"chunk ${c.chunk_id}: source index")
+      i += 1
+    }
+    ChunkColumns(docIds, rowLens, srcIdx, srcDict, tokens, c.n_rows)
+  }
+
   /** All three side columns — (doc_id, n_tok, source) — WITHOUT decoding
     * the token payload: the column-pruned read path. A rollup or id scan
     * over a 100 TB table reads the few-KB meta sections of each chunk and

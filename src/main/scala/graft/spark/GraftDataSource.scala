@@ -258,19 +258,23 @@ class GraftScan(path: String, pushed: Array[Filter], required: StructType,
         out.toArray
       case None => planned
     }
-    rows.map { case (d, m) =>
-      GraftInputPartition(d, m, dicts(d), tokenProbe): InputPartition
-    }
+    GraftPlanning.pack(SparkSession.active, rows, dicts, tokenProbe)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(
       new SerializableConfiguration(
         SparkSession.active.sparkContext.hadoopConfiguration),
-      required)
+      required,
+      SparkSession.active.conf.get("graft.read.columnar", "true").toBoolean)
 }
 
-case class GraftInputPartition(dir: String, row: Lineage.ManifestRow,
+/** One scheduled task = MANY chunks (same dir, manifest-ordered so chunks
+  * of one part file read sequentially). One-task-per-chunk does not
+  * survive scale: 100 TB is ~100M chunks, and even locally the per-task
+  * overhead (~1 ms) dwarfed the decode once chunk counts hit the
+  * thousands. Packing follows Spark's own FilePartition policy. */
+case class GraftInputPartition(dir: String, rows: Array[Lineage.ManifestRow],
                                dict: Option[Array[Byte]],
                                probe: Option[Int] = None)
     extends InputPartition
@@ -353,10 +357,45 @@ private[spark] object GraftPlanning {
                        pushed: Array[Filter],
                        probe: Option[Int] = None): Array[InputPartition] = {
     val rows = prunedManifest(spark, dirs, pushed, probe)
-    val dicts = dictsFor(spark, rows.iterator.map(_._1).toSet)
-    rows.map { case (d, m) =>
-      GraftInputPartition(d, m, dicts(d), probe): InputPartition
+    pack(spark, rows, dictsFor(spark, rows.iterator.map(_._1).toSet), probe)
+  }
+
+  /** Pack surviving chunks into scheduled partitions, Spark-file-source
+    * style: manifest order (sequential I/O within a part file), same-dir
+    * runs only (one dict per task), split at
+    * min(`graft.read.maxPartitionBytes`, max(4 MB, total/parallelism)) of
+    * encoded bytes — big tables get ~128 MB tasks, small tables still
+    * spread across the cluster, and a degenerate chunk is never split. Set
+    * `graft.read.maxPartitionBytes=1` to force one chunk per task (specs
+    * use it to observe pruning). */
+  def pack(spark: SparkSession, rows: Array[(String, Lineage.ManifestRow)],
+           dicts: Map[String, Option[Array[Byte]]],
+           probe: Option[Int]): Array[InputPartition] = {
+    if (rows.isEmpty) return Array.empty
+    val maxBytes = spark.conf.get("graft.read.maxPartitionBytes",
+      (128L * 1024 * 1024).toString).toLong
+    val total = rows.iterator.map(_._2.enc_bytes).sum
+    val par = math.max(1, spark.sparkContext.defaultParallelism)
+    val target = math.max(1L,
+      math.min(maxBytes, math.max(4L * 1024 * 1024, total / par + 1)))
+    val sorted = rows.sortBy { case (d, m) => (d, m.part_id, m.seq) }
+    val out = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
+    var curDir: String = null
+    val cur = scala.collection.mutable.ArrayBuffer.empty[Lineage.ManifestRow]
+    var curBytes = 0L
+    def flush(): Unit = if (cur.nonEmpty) {
+      out += GraftInputPartition(curDir, cur.toArray, dicts(curDir), probe)
+      cur.clear(); curBytes = 0L
     }
+    sorted.foreach { case (d, m) =>
+      if (d != curDir || (cur.nonEmpty && curBytes + m.enc_bytes > target))
+        flush()
+      curDir = d
+      cur += m
+      curBytes += m.enc_bytes
+    }
+    flush()
+    out.toArray
   }
 }
 
@@ -538,7 +577,8 @@ class GraftMicroBatchStream(root: String, pushed: Array[Filter],
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(
       new SerializableConfiguration(spark.sparkContext.hadoopConfiguration),
-      required)
+      required,
+      spark.conf.get("graft.read.columnar", "true").toBoolean)
 }
 
 // ---- write path ------------------------------------------------------------
@@ -766,11 +806,164 @@ class GraftDataWriter(dir: String, conf: Configuration, pid: Int,
   override def close(): Unit = ()
 }
 
+/** Executor-level shared-dictionary cache. The DSv2 source schedules ONE
+  * TASK PER CHUNK, so a naive reader rebuilds the MetaDict models (Huffman
+  * bucket construction — tens of ms) thousands of times per query where
+  * the engine's mapPartitions path builds them once per task; at 7,683
+  * chunks that reconstruction dwarfed the decode itself. Keyed by
+  * (length, CRC32) of the serialized dict; executors hold a handful of
+  * dicts for their lifetime. */
+private[spark] object MetaDictCache {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, MetaDict]()
+  def get(bytes: Array[Byte]): MetaDict = {
+    val crc = new java.util.zip.CRC32
+    crc.update(bytes)
+    cache.computeIfAbsent(s"${bytes.length}:${crc.getValue}",
+      _ => MetaDict.fromBytes(bytes))
+  }
+}
+
 class GraftReaderFactory(conf: SerializableConfiguration,
-                         required: StructType) extends PartitionReaderFactory {
+                         required: StructType,
+                         columnar: Boolean = true)
+    extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new GraftPartitionReader(conf.value, p.asInstanceOf[GraftInputPartition],
       required)
+  // COLUMNAR is the primary read path: emitting ColumnarBatch instead of
+  // one GenericInternalRow per row removes the per-row volcano overhead
+  // and lets Spark consume the scan through the same vectorized
+  // ColumnarToRow it uses for parquet. The row reader stays for the
+  // degenerate no-column projection and as the `graft.read.columnar=false`
+  // escape hatch.
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    columnar && required.fields.nonEmpty
+  override def createColumnarReader(
+      p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new GraftColumnarReader(conf.value, p.asInstanceOf[GraftInputPartition],
+      required)
+}
+
+/** Vectorized reader: consumes the chunk's COLUMNAR decode
+  * (ChunkBuilder.openColumns — flat token array + row lens, no per-row
+  * slices or SeqRows) and fills OnHeapColumnVectors with ONE bulk token
+  * copy per batch. Also prunes harder than the row path: a projection of
+  * `tokens` without `doc_id` skips the doc_id meta section entirely. */
+class GraftColumnarReader(conf: Configuration, p: GraftInputPartition,
+                          required: StructType)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+  import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+
+  private val Cap = 4096
+  private val dict = p.dict.map(MetaDictCache.get).orNull
+  private val needTokens = required.fieldNames.contains("tokens")
+  private val needDocId = required.fieldNames.contains("doc_id")
+  private val wantTok = needTokens || p.probe.isDefined
+
+  // chunk cursor: ONE chunk's columns resident at a time (bounded memory
+  // regardless of how many chunks the partition packs)
+  private var chunkIdx = 0
+  private var cols: ChunkBuilder.ChunkColumns = _
+  // UTF-8 bytes computed once per DISTINCT source (the dict), not per row
+  private var srcBytes: Array[Array[Byte]] = _
+  private var row = 0     // next source row of the current chunk
+  private var tokOff = 0  // its offset in the chunk's flat token array
+
+  /** Load the next non-empty chunk; false when the partition is drained. */
+  private def advance(): Boolean = {
+    while (chunkIdx < p.rows.length) {
+      val m = p.rows(chunkIdx)
+      chunkIdx += 1
+      val chunk =
+        if (wantTok) Lineage.readChunk(conf, p.dir, m)
+        else Lineage.readChunkMeta(conf, p.dir, m)
+      cols = ChunkBuilder.openColumns(chunk, dict,
+        withTokens = wantTok, withDocIds = needDocId)
+      srcBytes =
+        cols.srcDict.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      row = 0
+      tokOff = 0
+      if (cols.nRows > 0) return true
+    }
+    false
+  }
+
+  private val fieldOrd: Array[Int] = required.fieldNames.map {
+    case "doc_id" => 0
+    case "tokens" => 1
+    case "n_tok"  => 2
+    case "source" => 3
+    case other =>
+      throw new IllegalArgumentException(s"unknown graft column $other")
+  }
+  private val vectors = OnHeapColumnVector.allocateColumns(Cap, required)
+  private val batch =
+    new ColumnarBatch(vectors.asInstanceOf[Array[ColumnVector]])
+
+  private def fillRow(i: Int, r: Int, rTokOff: Int, childOff: Int): Int = {
+    val len = cols.rowLens(r)
+    var c = 0
+    var newChildOff = childOff
+    while (c < fieldOrd.length) {
+      fieldOrd(c) match {
+        case 0 =>
+          val b = cols.docIds(r)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          vectors(c).putByteArray(i, b, 0, b.length)
+        case 1 =>
+          val child = vectors(c).arrayData()
+          child.reserve(childOff + len)
+          child.putInts(childOff, len, cols.tokens, rTokOff)
+          vectors(c).putArray(i, childOff, len)
+          newChildOff = childOff + len
+        case 2 => vectors(c).putInt(i, len)
+        case 3 =>
+          val b = srcBytes(cols.srcIdx(r))
+          vectors(c).putByteArray(i, b, 0, b.length)
+      }
+      c += 1
+    }
+    newChildOff
+  }
+
+  override def next(): Boolean = {
+    if ((cols == null || row >= cols.nRows) && !advance()) return false
+    var v = 0
+    while (v < vectors.length) { vectors(v).reset(); v += 1 }
+    var i = 0
+    var childOff = 0
+    // fill up to Cap rows from the CURRENT chunk (batches never span
+    // chunks: each chunk has its own flat token array and source dict)
+    p.probe match {
+      case None =>
+        while (i < Cap && row < cols.nRows) {
+          childOff = fillRow(i, row, tokOff, childOff)
+          tokOff += cols.rowLens(row)
+          row += 1
+          i += 1
+        }
+      case Some(probe) =>
+        // exact residual containment filter on the FLAT array — no slices
+        while (i < Cap && row < cols.nRows) {
+          val len = cols.rowLens(row)
+          var j = tokOff
+          val end = tokOff + len
+          var hit = false
+          while (j < end && !hit) { hit = cols.tokens(j) == probe; j += 1 }
+          if (hit) { childOff = fillRow(i, row, tokOff, childOff); i += 1 }
+          tokOff += len
+          row += 1
+        }
+    }
+    batch.setNumRows(i)
+    // a filtered batch may be empty while input remains; recurse past it so
+    // hasNext-style consumers that treat false as EOF never stop early
+    if (i == 0) next() else true
+  }
+  override def get(): ColumnarBatch = batch
+  override def close(): Unit = batch.close()
 }
 
 class GraftPartitionReader(conf: Configuration, p: GraftInputPartition,
@@ -788,30 +981,32 @@ class GraftPartitionReader(conf: Configuration, p: GraftInputPartition,
   }
   private val needTokens = ordinals.contains(1)
   private val needDocId = ordinals.contains(0)
-  private val dict = p.dict.map(MetaDict.fromBytes).orNull
-  private val it: Iterator[InternalRow] = p.probe match {
-    case Some(v) =>
-      // containment probe: EXACT row filter (pruning admitted this chunk as
-      // a MAYBE) — the payload must decode regardless of the projection
-      ChunkBuilder.open(Lineage.readChunk(conf, p.dir, p.row), dict)
-        .filter(_.tokens.contains(v))
-        .map(r => project(r.doc_id, r.tokens, r.n_tok, r.source))
-    case None =>
-      if (needTokens)
-        ChunkBuilder.open(Lineage.readChunk(conf, p.dir, p.row), dict)
+  private val dict = p.dict.map(MetaDictCache.get).orNull
+  private val it: Iterator[InternalRow] = p.rows.iterator.flatMap { m =>
+    p.probe match {
+      case Some(v) =>
+        // containment probe: EXACT row filter (pruning admitted this chunk
+        // as a MAYBE) — the payload must decode regardless of projection
+        ChunkBuilder.open(Lineage.readChunk(conf, p.dir, m), dict)
+          .filter(_.tokens.contains(v))
           .map(r => project(r.doc_id, r.tokens, r.n_tok, r.source))
-      else {
-        // payload-free projection: readChunkMeta SEEKS past the payload —
-        // its bytes are neither decoded NOR transferred (two small range
-        // reads; the 10M-row rollup dropped from ~24 s to meta-read time)
-        val chunk = Lineage.readChunkMeta(conf, p.dir, p.row)
-        if (needDocId)
-          ChunkBuilder.openSide(chunk, dict)
-            .map { case (id, n, src) => project(id, null, n, src) }
-        else // neither payload NOR the doc_id section (the dominant meta cost)
-          ChunkBuilder.openMeta(chunk)
-            .map { case (src, n) => project(null, null, n, src) }
-      }
+      case None =>
+        if (needTokens)
+          ChunkBuilder.open(Lineage.readChunk(conf, p.dir, m), dict)
+            .map(r => project(r.doc_id, r.tokens, r.n_tok, r.source))
+        else {
+          // payload-free projection: readChunkMeta SEEKS past the payload —
+          // its bytes are neither decoded NOR transferred (two small range
+          // reads per chunk)
+          val chunk = Lineage.readChunkMeta(conf, p.dir, m)
+          if (needDocId)
+            ChunkBuilder.openSide(chunk, dict)
+              .map { case (id, n, src) => project(id, null, n, src) }
+          else // neither payload NOR the doc_id section (the dominant cost)
+            ChunkBuilder.openMeta(chunk)
+              .map { case (src, n) => project(null, null, n, src) }
+        }
+    }
   }
 
   private def project(id: String, toks: Array[Int], n: Int,

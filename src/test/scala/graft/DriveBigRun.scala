@@ -77,7 +77,7 @@ object DriveBigRun {
     val t5 = System.nanoTime()
     val cnt = g.count() // manifest-only aggregate pushdown: zero chunk reads
     val tCnt = (System.nanoTime() - t5) / 1e9
-    println(f"BIG5 dsv2 planning $planned%d chunk partitions in $tPlan%.2fs; pushed count(*)=$cnt%d in $tCnt%.2fs")
+    println(f"BIG5 dsv2 planning $planned%d packed partitions in $tPlan%.2fs; pushed count(*)=$cnt%d in $tCnt%.2fs")
 
     val t6 = System.nanoTime()
     val gTokens = g.select(size(col("tokens")).as("n"))
@@ -92,7 +92,7 @@ object DriveBigRun {
     val prunedParts = pruned.rdd.getNumPartitions
     val prunedRows = pruned.count()
     val tPruned = (System.nanoTime() - t8) / 1e9
-    println(f"BIG6 dsv2 full-decode ${tFull}%.1fs (${gTokens / tFull / 1e6}%.0fM tok/s, match=${gTokens == nTokens}); column-pruned rollup ${tMeta}%.1fs (match=${metaTok == nTokens}); doc_id probe -> $prunedParts/$nChunks chunks, $prunedRows row(s), ${tPruned}%.2fs")
+    println(f"BIG6 dsv2 full-decode ${tFull}%.1fs (${gTokens / tFull / 1e6}%.0fM tok/s, match=${gTokens == nTokens}); column-pruned rollup ${tMeta}%.1fs (match=${metaTok == nTokens}); doc_id probe -> $prunedParts packed task(s) of $nChunks chunks, $prunedRows row(s), ${tPruned}%.2fs")
 
     // cleanup the ~5GB scratch
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))

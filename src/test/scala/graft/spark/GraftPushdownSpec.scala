@@ -85,20 +85,24 @@ class GraftPushdownSpec extends AnyFunSuite {
   }
 
   test("limit pushdown plans only the chunks that cover the limit") {
-    val df = spark.read.format("graft").load(dir)
-    val total = df.rdd.getNumPartitions
-    assert(total > 3)
-    val limited = df.limit(5)
-    assert(scanPartitions(limited) == 1,
-      "limit 5 must plan exactly one chunk")
-    assert(limited.collect().length == 5)
-    // a filter blocks limit pushdown (residual rows can't be pre-counted):
-    // every zone-map-surviving chunk stays planned
-    val f = df.filter(col("doc_id") >= "doc-00000000").limit(5)
-    assert(f.collect().length == 5)
+    spark.conf.set("graft.read.maxPartitionBytes", "1") // chunk-per-task
+    try {
+      val df = spark.read.format("graft").load(dir)
+      val total = df.rdd.getNumPartitions
+      assert(total > 3)
+      val limited = df.limit(5)
+      assert(scanPartitions(limited) == 1,
+        "limit 5 must plan exactly one chunk")
+      assert(limited.collect().length == 5)
+      // a filter blocks limit pushdown (residual rows can't be pre-counted):
+      // every zone-map-surviving chunk stays planned
+      val f = df.filter(col("doc_id") >= "doc-00000000").limit(5)
+      assert(f.collect().length == 5)
+    } finally spark.conf.unset("graft.read.maxPartitionBytes")
   }
 
   test("containsToken option prunes chunks AND filters rows exactly") {
+    spark.conf.set("graft.read.maxPartitionBytes", "1") // chunk-per-task
     val df = spark.read.format("graft").load(dir)
     val total = df.rdd.getNumPartitions
     val probe = rows(1200).tokens(0) // present in few rows
@@ -114,9 +118,11 @@ class GraftPushdownSpec extends AnyFunSuite {
     val oov = spark.read.format("graft")
       .option("containsToken", "49999999").load(dir)
     assert(oov.rdd.getNumPartitions == 0 && oov.count() == 0L)
+    spark.conf.unset("graft.read.maxPartitionBytes")
   }
 
   test("array_contains(tokens, v) filter prunes chunks through pure SQL") {
+    spark.conf.set("graft.read.maxPartitionBytes", "1") // chunk-per-task
     val df = spark.read.format("graft").load(dir)
     val total = df.rdd.getNumPartitions
     val probe = rows(1200).tokens(0)
@@ -133,6 +139,7 @@ class GraftPushdownSpec extends AnyFunSuite {
     assert(ored.rdd.getNumPartitions == total)
     assert(ored.count() ==
       rows.count(r => r.tokens.contains(probe) || r.source == "books").toLong)
+    spark.conf.unset("graft.read.maxPartitionBytes")
   }
 
   test("readChunkMeta seeks past the payload: meta identical, payload empty") {

@@ -40,23 +40,38 @@ class GraftSourceSpec extends AnyFunSuite {
   }
 
   test("doc_id predicates prune chunks at PLANNING time (zone map)") {
-    val df = spark.read.format("graft").load(dir)
-    val total = df.rdd.getNumPartitions // one partition per chunk
+    // pin one-chunk-per-task so pruning is observable as a partition count
+    spark.conf.set("graft.read.maxPartitionBytes", "1")
+    try {
+      val df = spark.read.format("graft").load(dir)
+      val total = df.rdd.getNumPartitions
+      val m = Lineage.readManifest(spark, dir).collect()
+      assert(total == m.length && total > 3)
+      val probe = "doc-00000042"
+      val expectChunks = m.count(r =>
+        r.min_doc_id <= probe && r.max_doc_id >= probe)
+      val filtered = df.filter(col("doc_id") === probe)
+      assert(filtered.rdd.getNumPartitions == expectChunks,
+        s"${filtered.rdd.getNumPartitions} partitions planned, " +
+          s"zone map admits $expectChunks")
+      assert(expectChunks < total, "probe must actually prune")
+      assert(filtered.collect().map(_.getString(0)).toSeq == Seq(probe))
+      // range pushdown too
+      val ranged = df.filter(col("doc_id") >= "doc-00001490")
+      assert(ranged.rdd.getNumPartitions < total)
+      assert(ranged.count() == 10)
+    } finally spark.conf.unset("graft.read.maxPartitionBytes")
+  }
+
+  test("chunks pack into tasks by byte budget (FilePartition-style)") {
     val m = Lineage.readManifest(spark, dir).collect()
-    assert(total == m.length && total > 3)
-    val probe = "doc-00000042"
-    val expectChunks = m.count(r =>
-      r.min_doc_id <= probe && r.max_doc_id >= probe)
-    val filtered = df.filter(col("doc_id") === probe)
-    assert(filtered.rdd.getNumPartitions == expectChunks,
-      s"${filtered.rdd.getNumPartitions} partitions planned, " +
-        s"zone map admits $expectChunks")
-    assert(expectChunks < total, "probe must actually prune")
-    assert(filtered.collect().map(_.getString(0)).toSeq == Seq(probe))
-    // range pushdown too
-    val ranged = df.filter(col("doc_id") >= "doc-00001490")
-    assert(ranged.rdd.getNumPartitions < total)
-    assert(ranged.count() == 10)
+    assert(m.length > 3)
+    // default budget: this tiny table packs into far fewer tasks than
+    // chunks (parallelism floor keeps it >= 1), results identical
+    val packed = spark.read.format("graft").load(dir)
+    assert(packed.rdd.getNumPartitions < m.length)
+    assert(packed.count() == 1500L)
+    assert(packed.select("doc_id").distinct().count() == 1500L)
   }
 
   test("write.format(graft): roundtrip, append-resume, overwrite-truncate") {
