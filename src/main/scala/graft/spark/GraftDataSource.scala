@@ -129,6 +129,8 @@ class GraftScanBuilder(path: String, options: CaseInsensitiveStringMap)
       case GreaterThanOrEqual("doc_id", _: String) => true
       case LessThan("doc_id", _: String)           => true
       case LessThanOrEqual("doc_id", _: String)    => true
+      case In("doc_id", vs)                        =>
+        vs.nonEmpty && vs.forall(_.isInstanceOf[String])
       case _                                       => false
     }
     filters
@@ -189,7 +191,34 @@ class GraftScanBuilder(path: String, options: CaseInsensitiveStringMap)
 class GraftScan(path: String, pushed: Array[Filter], required: StructType,
                 tokenProbe: Option[Int], limit: Option[Int],
                 maxBatchesPerTrigger: Option[Int])
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
+
+  // ---- runtime (DPP-style) filtering -------------------------------------
+  // a broadcast join against a filtered dimension delivers the dim's
+  // doc_id set here at EXECUTION time; chunks whose [min,max] zone holds
+  // none of those ids are dropped before any task launches — partition
+  // pruning for an equi-join, the way file sources prune partitions
+  @volatile private var runtime: Array[Filter] = Array.empty
+  @volatile private[spark] var lastPlannedChunks: Int = -1 // spec observability
+  override def filterAttributes(): Array[NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("doc_id"))
+  override def filter(filters: Array[Filter]): Unit = runtime = filters
+
+  /** Zone-test the runtime filters against one chunk. Unknown filter
+    * shapes keep the chunk (pruning is an optimization — the join itself
+    * enforces exact semantics). */
+  private def runtimeAdmits(m: Lineage.ManifestRow,
+                            sortedIn: Map[Int, IndexedSeq[String]]): Boolean =
+    runtime.indices.forall { i =>
+      runtime(i) match {
+        case In("doc_id", _) =>
+          ZonePrune.anyInRange(sortedIn(i), m.min_doc_id, m.max_doc_id)
+        case EqualTo("doc_id", v: String) =>
+          m.min_doc_id <= v && m.max_doc_id >= v
+        case _ => true
+      }
+    }
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(
@@ -245,9 +274,21 @@ class GraftScan(path: String, pushed: Array[Filter], required: StructType,
     // chunks in deterministic manifest order until their row counts cover
     // n — a limit 10 over a million-chunk table plans one chunk. Spark
     // applies the exact global limit on top (partial pushdown).
+    // runtime (DPP) filters first: sort each IN-set once, zone-test chunks
+    val afterRuntime =
+      if (runtime.isEmpty) planned
+      else {
+        val sortedIn: Map[Int, IndexedSeq[String]] =
+          runtime.indices.collect {
+            case i if runtime(i).isInstanceOf[In] =>
+              i -> runtime(i).asInstanceOf[In].values
+                .collect { case s: String => s }.sorted.toIndexedSeq
+          }.toMap
+        planned.filter { case (_, m) => runtimeAdmits(m, sortedIn) }
+      }
     val rows = limit match {
       case Some(n) =>
-        val ordered = planned.sortBy { case (d, m) => (d, m.part_id, m.seq) }
+        val ordered = afterRuntime.sortBy { case (d, m) => (d, m.part_id, m.seq) }
         val out = scala.collection.mutable.ArrayBuffer
           .empty[(String, Lineage.ManifestRow)]
         var cum = 0L
@@ -256,8 +297,9 @@ class GraftScan(path: String, pushed: Array[Filter], required: StructType,
           val e = it.next(); out += e; cum += e._2.n_rows
         }
         out.toArray
-      case None => planned
+      case None => afterRuntime
     }
+    lastPlannedChunks = rows.length
     GraftPlanning.pack(SparkSession.active, rows, dicts, tokenProbe)
   }
 
@@ -278,6 +320,23 @@ case class GraftInputPartition(dir: String, rows: Array[Lineage.ManifestRow],
                                dict: Option[Array[Byte]],
                                probe: Option[Int] = None)
     extends InputPartition
+
+/** Zone-map interval tests shared by static and runtime doc_id pruning. */
+private[spark] object ZonePrune {
+  /** Does any of `sorted` (ascending) fall inside [min, max]? Binary
+    * search for the first value >= min, then one compare — O(log n) per
+    * chunk even for the large IN-sets runtime (DPP) filters deliver. */
+  def anyInRange(sorted: IndexedSeq[String], min: String,
+                 max: String): Boolean = {
+    var lo = 0
+    var hi = sorted.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (sorted(mid) < min) lo = mid + 1 else hi = mid
+    }
+    lo < sorted.length && sorted(lo) <= max
+  }
+}
 
 /** One copy of dir-level planning (dir resolution, manifest load, zone-map
   * + sketch pruning, dict pickup) shared by the batch scan, the aggregate
@@ -331,6 +390,10 @@ private[spark] object GraftPlanning {
         t = t.filter(col("_2.min_doc_id") < v)
       case LessThanOrEqual("doc_id", v: String) =>
         t = t.filter(col("_2.min_doc_id") <= v)
+      case In("doc_id", vs) =>
+        val sorted = vs.collect { case s: String => s }.sorted
+        t = t.filter(e =>
+          ZonePrune.anyInRange(sorted, e._2.min_doc_id, e._2.max_doc_id))
       case _ => ()
     }
     probe.foreach { v =>

@@ -142,6 +142,70 @@ class GraftPushdownSpec extends AnyFunSuite {
     spark.conf.unset("graft.read.maxPartitionBytes")
   }
 
+  test("In(doc_id, ...) pushes down: only zone-admitted chunks planned") {
+    spark.conf.set("graft.read.maxPartitionBytes", "1") // chunk-per-task
+    try {
+      val df = spark.read.format("graft").load(dir)
+      val total = df.rdd.getNumPartitions
+      val keys = Seq("doc-00000042", "doc-00000967", "doc-00001234")
+      val filtered = df.filter(col("doc_id").isin(keys: _*))
+      assert(filtered.rdd.getNumPartitions < total,
+        s"IN-list planned ${filtered.rdd.getNumPartitions} of $total")
+      assert(filtered.select("doc_id").collect().map(_.getString(0)).toSet ==
+        keys.toSet)
+      // an all-out-of-range IN list plans zero chunks
+      val none = df.filter(col("doc_id").isin("zzz-1", "zzz-2"))
+      assert(none.rdd.getNumPartitions == 0 && none.count() == 0L)
+    } finally spark.conf.unset("graft.read.maxPartitionBytes")
+  }
+
+  test("runtime (DPP-style) filtering prunes chunks through a join") {
+    spark.conf.set("graft.read.maxPartitionBytes", "1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    spark.conf.set(
+      "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio", "10")
+    try {
+      import spark.implicits._
+      val fact = spark.read.format("graft").load(dir)
+      val totalChunks = Lineage.readManifest(spark, dir).collect().length
+      // dim must be a real SOURCE (a LocalRelation's filter constant-folds
+      // away before PartitionPruning looks for a selective predicate)
+      val dimPath =
+        java.nio.file.Files.createTempDirectory("graft-dpp-dim").toString
+      Seq(("doc-00000042", 1), ("doc-00000967", 1),
+        ("doc-00001234", 2)).toDF("doc_id", "cat")
+        .write.mode("overwrite").parquet(dimPath)
+      val dim = spark.read.parquet(dimPath)
+      // the dim's selective filter is only known at EXECUTION time on the
+      // fact side: DPP must deliver the surviving doc_ids into the scan
+      // (EqualTo — the pruning heuristic requires a "likely selective"
+      // predicate shape; a bare boolean attribute does not qualify)
+      val joined = fact.join(dim.filter(col("cat") === 1), "doc_id")
+        .select("doc_id", "n_tok")
+      val planStr = joined.queryExecution.executedPlan.toString
+      assert(planStr.toLowerCase.contains("dynamicpruning"),
+        s"no runtime filter planned on the graft scan:\n$planStr")
+      val got = joined.collect()
+      assert(got.map(_.getString(0)).toSet ==
+        Set("doc-00000042", "doc-00000967"))
+      val scan = joined.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan
+      }.collectFirst { case g: GraftScan => g }.get
+      assert(scan.lastPlannedChunks >= 0 &&
+        scan.lastPlannedChunks < totalChunks,
+        s"runtime filter did not prune: planned ${scan.lastPlannedChunks} " +
+          s"of $totalChunks chunks")
+    } finally {
+      spark.conf.unset("graft.read.maxPartitionBytes")
+      spark.conf.unset("spark.sql.adaptive.enabled")
+      spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.useStats")
+      spark.conf.unset(
+        "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio")
+    }
+  }
+
   test("readChunkMeta seeks past the payload: meta identical, payload empty") {
     val conf = spark.sparkContext.hadoopConfiguration
     Lineage.readManifest(spark, dir).collect().foreach { m =>
