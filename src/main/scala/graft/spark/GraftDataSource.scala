@@ -109,8 +109,9 @@ class GraftScanBuilder(path: String, options: CaseInsensitiveStringMap)
   private var aggCols: Option[Seq[GraftAggCol]] = None
   // out-of-band containment predicate: "only rows whose tokens contain v"
   // (exact — the reader filters rows, the planner prunes chunks)
-  private val probe: Option[Int] =
-    Option(options.get("containstoken")).map(_.toInt)
+  private val probes: Array[Int] =
+    Option(options.get("containstoken")).toArray
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).map(_.toInt)
   private val maxBatchesPerTrigger: Option[Int] =
     Option(options.get("maxbatchespertrigger")).map { s =>
       val n = s.toInt
@@ -144,7 +145,7 @@ class GraftScanBuilder(path: String, options: CaseInsensitiveStringMap)
   // drops rows the planner can't count). Partial push: Spark keeps the
   // global Limit, we just stop planning chunks past it.
   override def pushLimit(n: Int): Boolean =
-    if (probe.isEmpty && pushed.isEmpty) { limit = Some(n); true } else false
+    if (probes.isEmpty && pushed.isEmpty) { limit = Some(n); true } else false
   override def isPartiallyPushed: Boolean = true
 
   /** Translate an Aggregation into manifest-only answers, or None. Only a
@@ -153,7 +154,7 @@ class GraftScanBuilder(path: String, options: CaseInsensitiveStringMap)
     * normal scan. A containment probe blocks pushdown (the manifest counts
     * rows the probe would drop). */
   private def translate(agg: Aggregation): Option[Seq[GraftAggCol]] = {
-    if (agg.groupByExpressions.nonEmpty || probe.nonEmpty || pushed.nonEmpty)
+    if (agg.groupByExpressions.nonEmpty || probes.nonEmpty || pushed.nonEmpty)
       return None
     def col1(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
@@ -184,12 +185,12 @@ class GraftScanBuilder(path: String, options: CaseInsensitiveStringMap)
   override def build(): Scan = aggCols match {
     case Some(cols) => new GraftAggScan(path, cols)
     case None =>
-      new GraftScan(path, pushed, required, probe, limit, maxBatchesPerTrigger)
+      new GraftScan(path, pushed, required, probes, limit, maxBatchesPerTrigger)
   }
 }
 
 class GraftScan(path: String, pushed: Array[Filter], required: StructType,
-                tokenProbe: Option[Int], limit: Option[Int],
+                tokenProbes: Array[Int], limit: Option[Int],
                 maxBatchesPerTrigger: Option[Int])
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
@@ -223,12 +224,12 @@ class GraftScan(path: String, pushed: Array[Filter], required: StructType,
   override def toBatch: Batch = this
   override def toMicroBatchStream(
       checkpointLocation: String): streaming.MicroBatchStream =
-    new GraftMicroBatchStream(path, pushed, required, tokenProbe,
+    new GraftMicroBatchStream(path, pushed, required, tokenProbes,
       maxBatchesPerTrigger)
   override def description(): String =
     s"graft:$path prunedFilters=[${pushed.mkString(", ")}] " +
       s"columns=[${required.fieldNames.mkString(", ")}]" +
-      tokenProbe.fold("")(v => s" containsToken=$v") +
+      (if (tokenProbes.isEmpty) "" else s" containsToken=${tokenProbes.mkString(",")}") +
       limit.fold("")(n => s" limit=$n")
 
   // ONE (bounded) driver-side planning pass, shared by estimateStatistics
@@ -237,7 +238,7 @@ class GraftScan(path: String, pushed: Array[Filter], required: StructType,
   private lazy val planned: Array[(String, Lineage.ManifestRow)] = {
     val spark = SparkSession.active
     val dirs = GraftPlanning.resolveReadDirs(spark, path)
-    GraftPlanning.prunedManifest(spark, dirs, pushed, tokenProbe)
+    GraftPlanning.prunedManifest(spark, dirs, pushed, tokenProbes)
   }
   private lazy val dicts: Map[String, Option[Array[Byte]]] =
     GraftPlanning.dictsFor(SparkSession.active,
@@ -300,7 +301,7 @@ class GraftScan(path: String, pushed: Array[Filter], required: StructType,
       case None => afterRuntime
     }
     lastPlannedChunks = rows.length
-    GraftPlanning.pack(SparkSession.active, rows, dicts, tokenProbe)
+    GraftPlanning.pack(SparkSession.active, rows, dicts, tokenProbes)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -318,7 +319,7 @@ class GraftScan(path: String, pushed: Array[Filter], required: StructType,
   * thousands. Packing follows Spark's own FilePartition policy. */
 case class GraftInputPartition(dir: String, rows: Array[Lineage.ManifestRow],
                                dict: Option[Array[Byte]],
-                               probe: Option[Int] = None)
+                               probes: Array[Int] = Array.empty)
     extends InputPartition
 
 /** Zone-map interval tests shared by static and runtime doc_id pruning. */
@@ -372,7 +373,7 @@ private[spark] object GraftPlanning {
     * driver building millions of InputPartitions. */
   def prunedManifest(spark: SparkSession, dirs: Seq[String],
                      pushed: Array[Filter],
-                     probe: Option[Int]): Array[(String, Lineage.ManifestRow)] = {
+                     probes: Array[Int]): Array[(String, Lineage.ManifestRow)] = {
     if (dirs.isEmpty) return Array.empty
     import spark.implicits._
     var t = dirs.map(d => Lineage.readManifest(spark, d).map(m => (d, m)))
@@ -396,10 +397,11 @@ private[spark] object GraftPlanning {
           ZonePrune.anyInRange(sorted, e._2.min_doc_id, e._2.max_doc_id))
       case _ => ()
     }
-    probe.foreach { v =>
-      // two levels before any data read: the [min_tok, max_tok] zone map,
-      // then the per-chunk TokenSketch (fails OPEN — an unreadable sketch
-      // costs a wasted decode, never a dropped row)
+    probes.foreach { v =>
+      // two levels before any data read, per probe (conjuncts AND): the
+      // [min_tok, max_tok] zone map, then the per-chunk TokenSketch (fails
+      // OPEN — an unreadable sketch costs a wasted decode, never a dropped
+      // row)
       t = t.filter(col("_2.min_tok") <= v && col("_2.max_tok") >= v)
         .filter(e => TokenSketch.mightContain(e._2.tok_set, e._2.min_tok, v))
     }
@@ -418,9 +420,9 @@ private[spark] object GraftPlanning {
 
   def partitionsForAll(spark: SparkSession, dirs: Seq[String],
                        pushed: Array[Filter],
-                       probe: Option[Int] = None): Array[InputPartition] = {
-    val rows = prunedManifest(spark, dirs, pushed, probe)
-    pack(spark, rows, dictsFor(spark, rows.iterator.map(_._1).toSet), probe)
+                       probes: Array[Int] = Array.empty): Array[InputPartition] = {
+    val rows = prunedManifest(spark, dirs, pushed, probes)
+    pack(spark, rows, dictsFor(spark, rows.iterator.map(_._1).toSet), probes)
   }
 
   /** Pack surviving chunks into scheduled partitions, Spark-file-source
@@ -433,7 +435,7 @@ private[spark] object GraftPlanning {
     * use it to observe pruning). */
   def pack(spark: SparkSession, rows: Array[(String, Lineage.ManifestRow)],
            dicts: Map[String, Option[Array[Byte]]],
-           probe: Option[Int]): Array[InputPartition] = {
+           probes: Array[Int]): Array[InputPartition] = {
     if (rows.isEmpty) return Array.empty
     val maxBytes = spark.conf.get("graft.read.maxPartitionBytes",
       (128L * 1024 * 1024).toString).toLong
@@ -447,7 +449,7 @@ private[spark] object GraftPlanning {
     val cur = scala.collection.mutable.ArrayBuffer.empty[Lineage.ManifestRow]
     var curBytes = 0L
     def flush(): Unit = if (cur.nonEmpty) {
-      out += GraftInputPartition(curDir, cur.toArray, dicts(curDir), probe)
+      out += GraftInputPartition(curDir, cur.toArray, dicts(curDir), probes)
       cur.clear(); curBytes = 0L
     }
     sorted.foreach { case (d, m) =>
@@ -563,7 +565,7 @@ case class GraftOffset(lastBatch: Long)
   * consume here — the encoded corpus becomes an append-only stream with
   * the same pruning and column semantics as the batch source. */
 class GraftMicroBatchStream(root: String, pushed: Array[Filter],
-                            required: StructType, probe: Option[Int],
+                            required: StructType, probes: Array[Int],
                             maxBatchesPerTrigger: Option[Int])
     extends streaming.MicroBatchStream
     with SupportsAdmissionControl with SupportsTriggerAvailableNow {
@@ -635,7 +637,7 @@ class GraftMicroBatchStream(root: String, pushed: Array[Filter],
     val e0 = end.asInstanceOf[GraftOffset].lastBatch
     val dirs = readyNumbered().filter { case (n, _) => n > s0 && n <= e0 }
       .map(_._2)
-    GraftPlanning.partitionsForAll(spark, dirs, pushed, probe)
+    GraftPlanning.partitionsForAll(spark, dirs, pushed, probes)
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(
@@ -682,16 +684,44 @@ class GraftWriteBuilder(path: String, info: LogicalWriteInfo)
       .map(_.toInt).getOrElse(1 << 20)
     require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
     val resume = Option(info.options.get("resume")).exists(_.toBoolean)
-    new GraftWrite(path, info.schema(), doTruncate, chunkTokens, resume)
+    val arrange = Option(info.options.get("arrange")).map { s =>
+      val n = s.toInt
+      require(n > 0, s"arrange must be a positive partition count, got $n")
+      n
+    }
+    new GraftWrite(path, info.schema(), doTruncate, chunkTokens, resume,
+      arrange)
   }
 }
 
 class GraftWrite(path: String, inputSchema: StructType, doTruncate: Boolean,
-                 chunkTokens: Int, resume: Boolean)
-    extends Write with BatchWrite {
+                 chunkTokens: Int, resume: Boolean,
+                 arrange: Option[Int] = None)
+    extends Write with BatchWrite
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   override def toBatch: BatchWrite = this
   override def toStreaming: StreamingWrite =
     new GraftStreamingWrite(path, inputSchema, chunkTokens)
+
+  // `option("arrange", n)`: ask SPARK for the deterministic arrangement a
+  // resume-sound write needs — hash-cluster by doc_id into exactly n
+  // partitions, sorted (source, doc_id) within each — via the declarative
+  // write-distribution API instead of a caller-side
+  // repartition(n, doc_id).sortWithinPartitions(...). The produced layout
+  // is BYTE-IDENTICAL to Lineage.encodeToDir(numPartitions = n) on the
+  // same dict (spec-pinned). Without the option: unspecified distribution,
+  // rows chunk AS PARTITIONED (the no-shuffle contract stands).
+  import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+  import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+  override def requiredDistribution(): Distribution =
+    if (arrange.isEmpty) Distributions.unspecified()
+    else Distributions.clustered(Array(Expressions.column("doc_id")))
+  override def requiredNumPartitions(): Int = arrange.getOrElse(0)
+  override def requiredOrdering(): Array[SortOrder] =
+    if (arrange.isEmpty) Array.empty
+    else Array(
+      Expressions.sort(Expressions.column("source"), SortDirection.ASCENDING),
+      Expressions.sort(Expressions.column("doc_id"), SortDirection.ASCENDING))
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory = {
@@ -923,7 +953,7 @@ class GraftColumnarReader(conf: Configuration, p: GraftInputPartition,
   private val dict = p.dict.map(MetaDictCache.get).orNull
   private val needTokens = required.fieldNames.contains("tokens")
   private val needDocId = required.fieldNames.contains("doc_id")
-  private val wantTok = needTokens || p.probe.isDefined
+  private val wantTok = needTokens || p.probes.nonEmpty
 
   // chunk cursor: ONE chunk's columns resident at a time (bounded memory
   // regardless of how many chunks the partition packs)
@@ -999,26 +1029,33 @@ class GraftColumnarReader(conf: Configuration, p: GraftInputPartition,
     var childOff = 0
     // fill up to Cap rows from the CURRENT chunk (batches never span
     // chunks: each chunk has its own flat token array and source dict)
-    p.probe match {
-      case None =>
-        while (i < Cap && row < cols.nRows) {
-          childOff = fillRow(i, row, tokOff, childOff)
-          tokOff += cols.rowLens(row)
-          row += 1
-          i += 1
-        }
-      case Some(probe) =>
-        // exact residual containment filter on the FLAT array — no slices
-        while (i < Cap && row < cols.nRows) {
-          val len = cols.rowLens(row)
+    if (p.probes.isEmpty) {
+      while (i < Cap && row < cols.nRows) {
+        childOff = fillRow(i, row, tokOff, childOff)
+        tokOff += cols.rowLens(row)
+        row += 1
+        i += 1
+      }
+    } else {
+      // exact residual containment filter on the FLAT array — no slices;
+      // conjunct semantics: the row must contain EVERY probe
+      while (i < Cap && row < cols.nRows) {
+        val len = cols.rowLens(row)
+        val end = tokOff + len
+        var k = 0
+        var all = true
+        while (k < p.probes.length && all) {
+          val probe = p.probes(k)
           var j = tokOff
-          val end = tokOff + len
           var hit = false
           while (j < end && !hit) { hit = cols.tokens(j) == probe; j += 1 }
-          if (hit) { childOff = fillRow(i, row, tokOff, childOff); i += 1 }
-          tokOff += len
-          row += 1
+          all = hit
+          k += 1
         }
+        if (all) { childOff = fillRow(i, row, tokOff, childOff); i += 1 }
+        tokOff += len
+        row += 1
+      }
     }
     batch.setNumRows(i)
     // a filtered batch may be empty while input remains; recurse past it so
@@ -1046,29 +1083,28 @@ class GraftPartitionReader(conf: Configuration, p: GraftInputPartition,
   private val needDocId = ordinals.contains(0)
   private val dict = p.dict.map(MetaDictCache.get).orNull
   private val it: Iterator[InternalRow] = p.rows.iterator.flatMap { m =>
-    p.probe match {
-      case Some(v) =>
-        // containment probe: EXACT row filter (pruning admitted this chunk
-        // as a MAYBE) — the payload must decode regardless of projection
+    if (p.probes.nonEmpty)
+      // containment probes: EXACT row filter (pruning admitted this chunk
+      // as a MAYBE) — the payload must decode regardless of projection
+      ChunkBuilder.open(Lineage.readChunk(conf, p.dir, m), dict)
+        .filter(r => p.probes.forall(r.tokens.contains))
+        .map(r => project(r.doc_id, r.tokens, r.n_tok, r.source))
+    else {
+      if (needTokens)
         ChunkBuilder.open(Lineage.readChunk(conf, p.dir, m), dict)
-          .filter(_.tokens.contains(v))
           .map(r => project(r.doc_id, r.tokens, r.n_tok, r.source))
-      case None =>
-        if (needTokens)
-          ChunkBuilder.open(Lineage.readChunk(conf, p.dir, m), dict)
-            .map(r => project(r.doc_id, r.tokens, r.n_tok, r.source))
-        else {
-          // payload-free projection: readChunkMeta SEEKS past the payload —
-          // its bytes are neither decoded NOR transferred (two small range
-          // reads per chunk)
-          val chunk = Lineage.readChunkMeta(conf, p.dir, m)
-          if (needDocId)
-            ChunkBuilder.openSide(chunk, dict)
-              .map { case (id, n, src) => project(id, null, n, src) }
-          else // neither payload NOR the doc_id section (the dominant cost)
-            ChunkBuilder.openMeta(chunk)
-              .map { case (src, n) => project(null, null, n, src) }
-        }
+      else {
+        // payload-free projection: readChunkMeta SEEKS past the payload —
+        // its bytes are neither decoded NOR transferred (two small range
+        // reads per chunk)
+        val chunk = Lineage.readChunkMeta(conf, p.dir, m)
+        if (needDocId)
+          ChunkBuilder.openSide(chunk, dict)
+            .map { case (id, n, src) => project(id, null, n, src) }
+        else // neither payload NOR the doc_id section (the dominant cost)
+          ChunkBuilder.openMeta(chunk)
+            .map { case (src, n) => project(null, null, n, src) }
+      }
     }
   }
 

@@ -41,21 +41,24 @@ object PushTokenContains extends Rule[LogicalPlan] {
     case x         => Seq(x)
   }
 
-  private def probeIn(cond: Expression, tokens: Attribute): Option[Int] =
-    conjuncts(cond).collectFirst {
+  private def probesIn(cond: Expression, tokens: Attribute): Seq[Int] =
+    conjuncts(cond).collect {
       case ArrayContains(a: Attribute, Literal(v: Int, IntegerType))
           if a.semanticEquals(tokens) => v
-    }
+    }.distinct
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, r: DataSourceV2Relation)
         if r.table.isInstanceOf[GraftTable] && !r.options.containsKey(Key) =>
-      r.output.find(_.name == "tokens").flatMap(t => probeIn(cond, t)) match {
-        case Some(v) =>
-          val m = new java.util.HashMap[String, String](r.options)
-          m.put(Key, v.toString)
-          f.copy(child = r.copy(options = new CaseInsensitiveStringMap(m)))
-        case None => f
+      val vs = r.output.find(_.name == "tokens")
+        .map(t => probesIn(cond, t)).getOrElse(Nil)
+      if (vs.isEmpty) f
+      else {
+        // EVERY top-level array_contains conjunct prunes (AND semantics:
+        // a chunk must zone/sketch-admit each probe to stay planned)
+        val m = new java.util.HashMap[String, String](r.options)
+        m.put(Key, vs.mkString(","))
+        f.copy(child = r.copy(options = new CaseInsensitiveStringMap(m)))
       }
   }
 }

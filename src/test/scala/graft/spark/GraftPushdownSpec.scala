@@ -133,6 +133,15 @@ class GraftPushdownSpec extends AnyFunSuite {
         s"${filtered.rdd.getNumPartitions} of $total chunks planned")
     assert(filtered.select("doc_id").collect().map(_.getString(0)).toSet
       == expected)
+    // TWO conjunct probes: AND semantics — chunks must admit BOTH, rows
+    // must contain both
+    val probe2 = rows(1200).tokens(5)
+    val both = df.filter(array_contains(col("tokens"), lit(probe)) &&
+      array_contains(col("tokens"), lit(probe2)))
+    assert(both.rdd.getNumPartitions <= filtered.rdd.getNumPartitions)
+    assert(both.select("doc_id").collect().map(_.getString(0)).toSet ==
+      rows.filter(r => r.tokens.contains(probe) && r.tokens.contains(probe2))
+        .map(_.doc_id).toSet)
     // a DISJUNCT must NOT prune (rows from any chunk can satisfy the OR)
     val ored = df.filter(
       array_contains(col("tokens"), lit(probe)) || col("source") === "books")

@@ -138,6 +138,37 @@ class GraftSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("option(arrange, n): Spark arranges the write; bytes == encodeToDir") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val rs = (0 until 600).map { i =>
+      val n = rng.nextInt(50)
+      SeqRow(f"doc-$i%08d", Array.fill(n)(rng.nextInt(50000)), n,
+        if (i % 3 == 0) "x" else "y")
+    }
+    val dirA = java.nio.file.Files.createTempDirectory("graft-arr-a").toString
+    graft.engine.Lineage.encodeToDir(spark.createDataset(rs), dirA,
+      EncoderConfig(chunkTokens = 4096, numPartitions = 3))
+    val dirB = java.nio.file.Files.createTempDirectory("graft-arr-b").toString
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(dirB, "_lineage"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(dirA, "_lineage/_shared_dict.bin"),
+      java.nio.file.Paths.get(dirB, "_lineage/_shared_dict.bin"))
+    // NO caller-side repartition/sort: the sink DECLARES the arrangement
+    // (RequiresDistributionAndOrdering) and Spark inserts it
+    spark.createDataset(rs).repartition(7) // deliberately "wrong" layout
+      .write.format("graft").mode("append")
+      .option("arrange", "3").option("chunkTokens", "4096").save(dirB)
+    (0 until 3).foreach { p =>
+      val a = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dirA, f"data/part-$p%05d.graft"))
+      val b = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dirB, f"data/part-$p%05d.graft"))
+      assert(java.util.Arrays.equals(a, b), s"partition $p bytes diverge")
+    }
+  }
+
   test("readStream.format(graft): incremental, marker-gated consumption") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-ss").toString
