@@ -526,6 +526,32 @@ object Lineage {
   def compactBatchTree(spark: SparkSession, root: String): Long =
     batchDirs(spark, root).map(d => compactManifest(spark, d)).sum
 
+  /** Retention for streaming trees: delete every READY batch whose number
+    * is strictly below `minBatchKept`, returning how many were removed. A
+    * tree written forever grows forever — downstream consumers checkpoint
+    * their offset (a batch number), so expiring below the slowest
+    * consumer's committed offset is safe by construction. Visibility is
+    * revoked FIRST (ready marker deleted before the data), so a reader
+    * listing mid-expiry never plans a half-deleted batch; in-flight
+    * (unready) batches are never touched — they belong to the writer.
+    * Callers own the policy; this is the mechanism. */
+  def expireBatchesBelow(spark: SparkSession, root: String,
+                         minBatchKept: Long): Long = {
+    val fs = FileSystem.get(new java.net.URI(root),
+      spark.sparkContext.hadoopConfiguration)
+    val readyNames = readyBatchDirs(spark, root)
+      .map(d => new Path(d).getName).toSet
+    val victims = batchDirs(spark, root)
+      .flatMap(d => batchNumber(d).map(n => (n, d)))
+      .filter { case (n, d) =>
+        n < minBatchKept && readyNames.contains(new Path(d).getName) }
+    victims.foreach { case (_, d) =>
+      fs.delete(new Path(s"$d/_graft_batch_ready"), false) // revoke first
+      fs.delete(new Path(d), true)
+    }
+    victims.size.toLong
+  }
+
   /** Containment-pruned tree decode (min/max zone map + TokenSketch per
     * batch manifest). */
   def decodeContainingTokenTree(spark: SparkSession, root: String,
