@@ -59,10 +59,6 @@ object DriveColumnarAB {
     val tPlan = (1 to 3).map(_ =>
       time { spark.read.format("graft").load(dir).rdd.getNumPartitions; () }).min
     spark.conf.set("graft.read.columnar", "true")
-    def tokOnly(): Unit = {
-      g.select(size(col("tokens")).as("n"))
-        .agg(sum(col("n").cast("long"))).as[Long].first(); ()
-    }
     println(f"AB2 engine-decode=${tEng}%.2fs planning-only=${tPlan}%.2fs")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     spark.stop()

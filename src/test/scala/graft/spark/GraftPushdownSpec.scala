@@ -224,6 +224,24 @@ class GraftPushdownSpec extends AnyFunSuite {
       assert(java.util.Arrays.equals(metaOnly.meta, full.meta),
         s"meta diverges for chunk ${m.chunk_id}")
     }
+    // a hostile frame head (huge payload-length varint) must fail TYPED,
+    // before any allocation or seek — not wrap, not allocate, not read junk
+    val m0 = Lineage.readManifest(spark, dir).collect().minBy(_.offset)
+    val dataFile = java.nio.file.Paths.get(dir,
+      f"data/part-${m0.part_id}%05d.graft")
+    val orig = java.nio.file.Files.readAllBytes(dataFile)
+    val evil = orig.clone()
+    var i = 0
+    while (i < 9) { evil(m0.offset.toInt + i) = 0xFF.toByte; i += 1 }
+    evil(m0.offset.toInt + 9) = 0x01.toByte
+    java.nio.file.Files.write(dataFile, evil)
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir,
+      f"data/.part-${m0.part_id}%05d.graft.crc"))
+    try {
+      intercept[graft.codec.CorruptException] {
+        Lineage.readChunkMeta(conf, dir, m0)
+      }
+    } finally java.nio.file.Files.write(dataFile, orig)
   }
 
   test("graft_source_stats driver query rides the manifest-only plan") {
