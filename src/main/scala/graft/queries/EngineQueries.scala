@@ -329,24 +329,31 @@ object EngineQueries {
     * sections and never touches a compressed payload. Oracled: DuckDB
     * recomputes the identical rollup (counts, token sums, id bounds) from
     * the materialized corpus parquet. */
-  def graftSource(s: SparkSession, dir: String): DataFrame = {
+  /** ONE copy of the scratch-encode preamble both graft_source queries
+    * share: corpus -> fingerprint-keyed tmp encode (resume on re-runs) ->
+    * DSv2 read. The scratch path is keyed by (n, code fingerprint): the
+    * first call encodes, every later one (bench re-runs, repeated
+    * sessions) RESUMES and pays only the manifest check — never an
+    * unbounded pile of temp copies. The fingerprint is a driver-side
+    * canary encode of a few Corpus rows through the real chunk builder, so
+    * a corpus-generation or encoder change in a later build changes the
+    * path and re-encodes instead of silently resuming a stale prior
+    * version's output. */
+  private def scratchGraftTable(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val n = math.min(rowsForDir(dir), 5000L)
     val ds = graft.io.CorpusTable.table(s, n)
       .select(col("doc_id"), col("tokens"), col("n_tok"), col("source"))
       .as[SeqRow]
-    // deterministic scratch path keyed by (n, code fingerprint): the first
-    // call encodes, every later one (bench re-runs, repeated sessions)
-    // RESUMES and pays only the manifest check — never an unbounded pile of
-    // temp copies. The fingerprint is a driver-side canary encode of a few
-    // Corpus rows through the real chunk builder, so a corpus-generation or
-    // encoder change in a later build changes the path and re-encodes
-    // instead of silently resuming a stale prior version's output.
     val out =
       s"${sys.props("java.io.tmpdir")}/graft_source_q_n${n}_v${EngineQueries.codeFingerprint}"
     Lineage.encodeToDir(ds, out,
       EncoderConfig(chunkTokens = 1 << 17, numPartitions = 4))
     s.read.format("graft").load(out)
+  }
+
+  def graftSource(s: SparkSession, dir: String): DataFrame = {
+    scratchGraftTable(s, dir)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_rows"),
         sum(col("n_tok").cast("long")).as("n_tokens"),
@@ -361,16 +368,7 @@ object EngineQueries {
     * the plan shape; here DuckDB pins the VALUES against the same corpus).
     * Uses spark.sql so count(*) reaches the source as CountStar. */
   def graftSourceStats(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val n = math.min(rowsForDir(dir), 5000L)
-    val ds = graft.io.CorpusTable.table(s, n)
-      .select(col("doc_id"), col("tokens"), col("n_tok"), col("source"))
-      .as[SeqRow]
-    val out =
-      s"${sys.props("java.io.tmpdir")}/graft_source_q_n${n}_v${EngineQueries.codeFingerprint}"
-    Lineage.encodeToDir(ds, out,
-      EncoderConfig(chunkTokens = 1 << 17, numPartitions = 4))
-    s.read.format("graft").load(out).createOrReplaceTempView("graft_stats_t")
+    scratchGraftTable(s, dir).createOrReplaceTempView("graft_stats_t")
     s.sql(
       """SELECT count(*) AS n_rows, min(doc_id) AS min_doc_id,
         |  max(doc_id) AS max_doc_id, sum(n_tok) AS n_tokens

@@ -216,7 +216,8 @@ class GraftScan(path: String, pushed: Array[Filter], required: StructType,
         case In("doc_id", _) =>
           ZonePrune.anyInRange(sortedIn(i), m.min_doc_id, m.max_doc_id)
         case EqualTo("doc_id", v: String) =>
-          m.min_doc_id <= v && m.max_doc_id >= v
+          graft.engine.Utf8Order.lte(m.min_doc_id, v) &&
+            graft.engine.Utf8Order.gte(m.max_doc_id, v)
         case _ => true
       }
     }
@@ -282,8 +283,8 @@ class GraftScan(path: String, pushed: Array[Filter], required: StructType,
         val sortedIn: Map[Int, IndexedSeq[String]] =
           runtime.indices.collect {
             case i if runtime(i).isInstanceOf[In] =>
-              i -> runtime(i).asInstanceOf[In].values
-                .collect { case s: String => s }.sorted.toIndexedSeq
+              i -> ZonePrune.sortValues(runtime(i).asInstanceOf[In].values
+                .collect { case s: String => s })
           }.toMap
         planned.filter { case (_, m) => runtimeAdmits(m, sortedIn) }
       }
@@ -322,20 +323,32 @@ case class GraftInputPartition(dir: String, rows: Array[Lineage.ManifestRow],
                                probes: Array[Int] = Array.empty)
     extends InputPartition
 
-/** Zone-map interval tests shared by static and runtime doc_id pruning. */
+/** Zone-map interval tests shared by static and runtime doc_id pruning.
+  * ALL comparisons run in UTF-8 BINARY order (graft.engine.Utf8Order) —
+  * the order ChunkBuilder computed min/max_doc_id in and the order Spark's
+  * UTF8String comparisons use. Java String (UTF-16) order diverges for
+  * supplementary-plane characters, and a divergent prune is silent ROW
+  * LOSS (a pruned chunk is unrecoverable by the residual filter). */
 private[spark] object ZonePrune {
-  /** Does any of `sorted` (ascending) fall inside [min, max]? Binary
-    * search for the first value >= min, then one compare — O(log n) per
-    * chunk even for the large IN-sets runtime (DPP) filters deliver. */
+  import graft.engine.Utf8Order
+
+  /** Sort values for anyInRange: MUST be this order, not String's. */
+  def sortValues(vs: Seq[String]): IndexedSeq[String] =
+    vs.sortWith(Utf8Order.lt(_, _)).toIndexedSeq
+
+  /** Does any of `sorted` (ascending in UTF-8 order, via sortValues) fall
+    * inside [min, max]? Binary search for the first value >= min, then one
+    * compare — O(log n) per chunk even for the large IN-sets runtime (DPP)
+    * filters deliver. */
   def anyInRange(sorted: IndexedSeq[String], min: String,
                  max: String): Boolean = {
     var lo = 0
     var hi = sorted.length
     while (lo < hi) {
       val mid = (lo + hi) >>> 1
-      if (sorted(mid) < min) lo = mid + 1 else hi = mid
+      if (Utf8Order.lt(sorted(mid), min)) lo = mid + 1 else hi = mid
     }
-    lo < sorted.length && sorted(lo) <= max
+    lo < sorted.length && Utf8Order.lte(sorted(lo), max)
   }
 }
 
@@ -392,7 +405,7 @@ private[spark] object GraftPlanning {
       case LessThanOrEqual("doc_id", v: String) =>
         t = t.filter(col("_2.min_doc_id") <= v)
       case In("doc_id", vs) =>
-        val sorted = vs.collect { case s: String => s }.sorted
+        val sorted = ZonePrune.sortValues(vs.collect { case s: String => s })
         t = t.filter(e =>
           ZonePrune.anyInRange(sorted, e._2.min_doc_id, e._2.max_doc_id))
       case _ => ()
@@ -700,8 +713,16 @@ class GraftWrite(path: String, inputSchema: StructType, doTruncate: Boolean,
     extends Write with BatchWrite
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   override def toBatch: BatchWrite = this
-  override def toStreaming: StreamingWrite =
+  override def toStreaming: StreamingWrite = {
+    // Complete/Update output modes arrive here as truncate(); silently
+    // appending every epoch's FULL snapshot as a new batch dir would grow
+    // the tree without bound while looking correct — refuse loudly
+    if (doTruncate) throw new UnsupportedOperationException(
+      "graft streaming sink supports APPEND output mode only (a " +
+        "truncating mode would re-emit the whole result as a new batch " +
+        "every epoch)")
     new GraftStreamingWrite(path, inputSchema, chunkTokens)
+  }
 
   // `option("arrange", n)`: ask SPARK for the deterministic arrangement a
   // resume-sound write needs — hash-cluster by doc_id into exactly n
@@ -785,6 +806,18 @@ class GraftStreamingWrite(path: String, inputSchema: StructType,
       info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     GraftWrite.requireGraftSchema(inputSchema)
     val spark = SparkSession.active
+    // a plain lineage table root would swallow the stream: batch reads
+    // resolve `$path/_lineage` FIRST and would never see batch=N subdirs —
+    // every streamed epoch unreachable, no error anywhere. Mirror the
+    // streaming READER's root validation and refuse up front.
+    locally {
+      val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+        spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/_lineage")))
+        throw new IllegalArgumentException(
+          s"$path is a plain lineage table (batch save/encodeToDir output) " +
+            "— the streaming sink writes batch TREES; use a fresh root")
+    }
     // the tree-level marker goes down at STREAM START, before any batch
     // dir exists: batch readers of this tree apply READY-marker visibility
     // from the first trigger on (never consume an in-flight epoch)
@@ -1022,7 +1055,19 @@ class GraftColumnarReader(conf: Configuration, p: GraftInputPartition,
   }
 
   override def next(): Boolean = {
-    if ((cols == null || row >= cols.nRows) && !advance()) return false
+    // loop (NOT recursion) over fully-filtered chunks: a probe that zone-
+    // admits thousands of chunks but matches no rows must not grow the
+    // stack by one frame per chunk (next() overrides an interface method,
+    // so scalac cannot tail-call it)
+    while ((cols != null && row < cols.nRows) || advance()) {
+      if (fillBatch()) return true
+    }
+    false
+  }
+
+  /** Fill up to Cap rows from the current chunk; false if every row was
+    * filtered out (caller advances and retries). */
+  private def fillBatch(): Boolean = {
     var v = 0
     while (v < vectors.length) { vectors(v).reset(); v += 1 }
     var i = 0
@@ -1058,9 +1103,7 @@ class GraftColumnarReader(conf: Configuration, p: GraftInputPartition,
       }
     }
     batch.setNumRows(i)
-    // a filtered batch may be empty while input remains; recurse past it so
-    // hasNext-style consumers that treat false as EOF never stop early
-    if (i == 0) next() else true
+    i > 0
   }
   override def get(): ColumnarBatch = batch
   override def close(): Unit = batch.close()

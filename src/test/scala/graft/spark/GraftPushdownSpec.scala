@@ -168,6 +168,23 @@ class GraftPushdownSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.read.maxPartitionBytes")
   }
 
+  test("IN pruning compares in UTF-8 order: supplementary planes survive") {
+    import spark.implicits._
+    // U+E000 < U+10000 in UTF-8 bytes (EE.. < F0..) but the SURROGATE PAIR
+    // for U+10000 sorts BELOW U+E000 in Java String (UTF-16) order — a
+    // String-ordered zone test would prune the chunk and silently lose the
+    // row (the residual filter cannot recover a pruned chunk)
+    val ids = Seq("", "𐀀")
+    val d = java.nio.file.Files.createTempDirectory("graft-utf8").toString
+    Lineage.encodeToDir(
+      spark.createDataset(ids.map(id => SeqRow(id, Array(1), 1, "s"))), d,
+      EncoderConfig(chunkTokens = 1 << 10, numPartitions = 1))
+    val hit = spark.read.format("graft").load(d)
+      .filter(col("doc_id").isin(""))
+      .select("doc_id").collect().map(_.getString(0))
+    assert(hit.toSeq == Seq(""), s"got ${hit.toSeq}")
+  }
+
   test("runtime (DPP-style) filtering prunes chunks through a join") {
     spark.conf.set("graft.read.maxPartitionBytes", "1")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
