@@ -27,6 +27,8 @@ object SparkEntry {
     "lineage_roundtrip" -> (EngineQueries.lineageRoundtrip _),
     "graft_source" -> (EngineQueries.graftSource _),
     "graft_source_stats" -> (EngineQueries.graftSourceStats _),
+    "graft_source_contains" -> (EngineQueries.graftSourceContains _),
+    "graft_source_in" -> (EngineQueries.graftSourceIn _),
     "encode_expr" -> (EngineQueries.encodeExpr _),
     "token_stats" -> (EngineQueries.tokenStats _),
     "source_distinct_tokens" -> (EngineQueries.sourceDistinctTokens _),
@@ -107,6 +109,8 @@ object SparkEntry {
     // the materialized corpus — column-pruned source scan in the hard channel
     "graft_source" -> EngineQueries.graftSourceSql,
     "graft_source_stats" -> EngineQueries.graftSourceStatsSql,
+    "graft_source_contains" -> EngineQueries.graftSourceContainsSql,
+    "graft_source_in" -> EngineQueries.graftSourceInSql,
     "seq_split" -> PackQueries.seqSplitSql,
     "seq_len_hist" -> PackQueries.seqLenHistSql,
     // packing is a sequential fold (not ANSI-SQL-expressible): pinned by an

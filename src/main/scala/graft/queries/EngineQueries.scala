@@ -375,6 +375,42 @@ object EngineQueries {
         |FROM graft_stats_t""".stripMargin)
   }
 
+  /** Token-containment pruning through the hard channel: an
+    * `array_contains(tokens, v)` filter over the DSv2 source (folded into
+    * the containsToken probe by GraftExtensions' rule — zone map +
+    * TokenSketch chunk pruning at planning time, exact row filter in the
+    * reader) rolled up so DuckDB can recompute the identical answer with
+    * `list_contains` over the same corpus. */
+  def graftSourceContains(s: SparkSession, dir: String): DataFrame =
+    scratchGraftTable(s, dir)
+      .filter(array_contains(col("tokens"), lit(0)))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("n_tok").cast("long")).as("n_tokens"),
+        min(col("doc_id")).as("min_doc_id"))
+
+  val graftSourceContainsSql: String =
+    """SELECT count(*) AS n_rows, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+      |  min(doc_id) AS min_doc_id
+      |FROM read_parquet('/root/repo/data/oracle/corpus_n5000.parquet/*.parquet')
+      |WHERE list_contains(tokens, 0)""".stripMargin
+
+  /** IN-list pushdown through the hard channel: the pushed
+    * `doc_id IN (...)` prunes chunks via the binary-searched zone test
+    * (UTF-8 order); DuckDB recomputes over the corpus. */
+  def graftSourceIn(s: SparkSession, dir: String): DataFrame =
+    scratchGraftTable(s, dir)
+      .filter(col("doc_id").isin(
+        "doc-000000000007", "doc-000000000123", "doc-000000004321"))
+      .select(col("doc_id"), col("n_tok"))
+      .orderBy(col("doc_id"))
+
+  val graftSourceInSql: String =
+    """SELECT doc_id, n_tok
+      |FROM read_parquet('/root/repo/data/oracle/corpus_n5000.parquet/*.parquet')
+      |WHERE doc_id IN ('doc-000000000007', 'doc-000000000123',
+      |  'doc-000000004321')
+      |ORDER BY doc_id""".stripMargin
+
   val graftSourceStatsSql: String =
     """SELECT count(*) AS n_rows, min(doc_id) AS min_doc_id,
       |  max(doc_id) AS max_doc_id, CAST(sum(n_tok) AS BIGINT) AS n_tokens
