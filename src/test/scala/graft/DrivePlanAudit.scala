@@ -39,6 +39,14 @@ object DrivePlanAudit {
     show("doc_compress_shared (train-once sample + broadcast table + " +
       "partition-local code; the aggregate is the only shuffle)",
       TextQueries.docCompressShared(spark, sf))
+    // round-5 DSv2 pushdown surface
+    show("graft_source_stats (manifest-only aggregate: zero chunk opens)",
+      EngineQueries.graftSourceStats(spark, sf))
+    show("graft_source_contains (array_contains -> containment probe: " +
+      "zone map + TokenSketch chunk pruning at planning, exact residual)",
+      EngineQueries.graftSourceContains(spark, sf))
+    show("graft_source_in (pushed doc_id IN-list: binary-searched UTF-8 " +
+      "zone test)", EngineQueries.graftSourceIn(spark, sf))
     spark.stop()
   }
 }
