@@ -28,6 +28,7 @@ object SparkEntry {
     "graft_source" -> (EngineQueries.graftSource _),
     "graft_source_stats" -> (EngineQueries.graftSourceStats _),
     "graft_source_contains" -> (EngineQueries.graftSourceContains _),
+    "dedup_clusters" -> (DedupQueries.dedupClusters _),
     "graft_source_in" -> (EngineQueries.graftSourceIn _),
     "encode_expr" -> (EngineQueries.encodeExpr _),
     "token_stats" -> (EngineQueries.tokenStats _),
@@ -110,6 +111,7 @@ object SparkEntry {
     "graft_source" -> EngineQueries.graftSourceSql,
     "graft_source_stats" -> EngineQueries.graftSourceStatsSql,
     "graft_source_contains" -> EngineQueries.graftSourceContainsSql,
+    "dedup_clusters" -> DedupQueries.dedupClustersSql,
     "graft_source_in" -> EngineQueries.graftSourceInSql,
     "seq_split" -> PackQueries.seqSplitSql,
     "seq_len_hist" -> PackQueries.seqLenHistSql,

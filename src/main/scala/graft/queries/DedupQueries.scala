@@ -119,9 +119,12 @@ object DedupQueries {
     * same (band, bucket); verified with exact Jaccard on shingle sets via
     * array_intersect/array_union (codegen'd, no UDF). Output: per-doc
     * candidate count and best Jaccard (never empty). */
-  def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
+  /** Jaccard-verified minhash candidate pairs (id_a < id_b, jaccard
+    * rounded HALF-UP to 4 places) — ONE copy shared by the per-doc summary
+    * (dedupMinhash) and the cluster extraction (dedupClusters). */
+  private def verifiedCandidates(s: SparkSession,
+                                 sh: DataFrame): DataFrame = {
     import s.implicits._
-    val sh = shingled(s, dir).cache()
     val sigs = sh.as[(Long, Array[Long])]
       .map { case (id, shingles) =>
         (id, Shingles.minhashBandKeys(shingles, nHashes = 32, bands = 8)) }
@@ -134,13 +137,18 @@ object DedupQueries {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    val withSets = cand
+    cand
       .join(sh.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), "id_a")
       .join(sh.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), "id_b")
       .withColumn("jaccard", round(
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           greatest(size(array_union(col("sh_a"), col("sh_b"))), lit(1)), 4))
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(s, dir).cache()
+    val withSets = verifiedCandidates(s, sh)
     val perDoc = withSets.select(col("id_a").as("doc_id"), col("jaccard"))
       .union(withSets.select(col("id_b").as("doc_id"), col("jaccard")))
       .groupBy(col("doc_id"))
@@ -151,6 +159,64 @@ object DedupQueries {
       .na.fill(Map("n_candidates" -> 0L, "best_jaccard" -> 0.0))
       .orderBy(col("doc_id"))
   }
+
+  /** Duplicate-cluster extraction — the step a training pipeline runs
+    * AFTER near-dup detection: connected components over the verified
+    * pairs (jaccard >= 0.8), one row per cluster with its canonical
+    * representative (min doc_id — the doc a dedup pass would KEEP) and
+    * size.
+    *
+    * Algorithm: iterative min-label propagation. Each round is one
+    * join + min-aggregation over (long, long) rows — 16-byte shuffle
+    * records regardless of document size — and converges in O(cluster
+    * diameter) rounds; near-dup clusters are stars/cliques of tiny
+    * diameter, so a handful of rounds suffices at any corpus scale (the
+    * driver loop moves no data, only counts). `localCheckpoint` cuts the
+    * per-round lineage so the plan does not grow exponentially. A hard
+    * iteration cap fails LOUDLY — a silently unconverged clustering would
+    * undercount duplicates. Oracled vs an independent Python union-find
+    * over the same pairs (tools/gen_cluster_fixture.py). */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(s, dir).cache()
+    val pairs = verifiedCandidates(s, sh)
+      .filter(col("jaccard") >= 0.8)
+      .select(col("id_a"), col("id_b"))
+      .cache()
+    val edges = pairs
+      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .toDF("src", "dst")
+      .cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    val maxIter = 25
+    while (changed > 0 && iter < maxIter) {
+      // every node adopts the minimum of its own and its neighbors' labels
+      val viaEdges = edges
+        .join(labels.select(col("id").as("src"), col("label")), "src")
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.select(col("id"), col("label")).union(viaEdges)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+      changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels = next
+      iter += 1
+    }
+    if (changed > 0) throw new IllegalStateException(
+      s"dedup_clusters did not converge in $maxIter rounds — raise the cap")
+    labels.groupBy(col("label").as("cluster_rep"))
+      .agg(count(lit(1)).as("size"))
+      .orderBy(col("cluster_rep"))
+  }
+
+  val dedupClustersSql: String =
+    """SELECT cluster_rep, size
+      |FROM read_parquet('/root/repo/golden/dedup_clusters_sf0.01.parquet')
+      |ORDER BY cluster_rep""".stripMargin
 
   /** SimHash near-dup: 64-bit simhash over shingle hashes; blocking on four
     * 16-bit sub-bands (two matching sub-bands <=> hamming-close candidates);
