@@ -189,10 +189,14 @@ object DedupQueries {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
-    var changed = 1L
+    // labels only ever DECREASE (min-propagation), so the label sum is a
+    // strictly decreasing potential: unchanged sum == converged. One cheap
+    // aggregate per round instead of a change-detection join.
+    var prevSum = BigDecimal(-1)
+    var converged = false
     var iter = 0
     val maxIter = 25
-    while (changed > 0 && iter < maxIter) {
+    while (!converged && iter < maxIter) {
       // every node adopts the minimum of its own and its neighbors' labels
       val viaEdges = edges
         .join(labels.select(col("id").as("src"), col("label")), "src")
@@ -200,13 +204,15 @@ object DedupQueries {
       val next = labels.select(col("id"), col("label")).union(viaEdges)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
         .localCheckpoint(true)
-      changed = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.label") =!= col("o.label")).count()
+      val sum = BigDecimal(next
+        .agg(org.apache.spark.sql.functions.sum(col("label").cast("decimal(38,0)")))
+        .collect()(0).getDecimal(0))
+      converged = sum == prevSum
+      prevSum = sum
       labels = next
       iter += 1
     }
-    if (changed > 0) throw new IllegalStateException(
+    if (!converged) throw new IllegalStateException(
       s"dedup_clusters did not converge in $maxIter rounds — raise the cap")
     labels.groupBy(col("label").as("cluster_rep"))
       .agg(count(lit(1)).as("size"))
