@@ -118,6 +118,10 @@ class GraftScanBuilder(path: String, options: CaseInsensitiveStringMap)
       require(n > 0, s"maxBatchesPerTrigger must be positive, got $n")
       n
     }
+  // time travel over a batch tree: read only batches numbered <= n — an
+  // append-only tree makes "the corpus as of batch n" a pure filter
+  private val untilBatch: Option[Long] =
+    Option(options.get("untilbatch")).map(_.toLong)
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     // doc_id comparisons prune CHUNKS via the manifest zone map; rows still
@@ -183,15 +187,16 @@ class GraftScanBuilder(path: String, options: CaseInsensitiveStringMap)
   }
 
   override def build(): Scan = aggCols match {
-    case Some(cols) => new GraftAggScan(path, cols)
+    case Some(cols) => new GraftAggScan(path, cols, untilBatch)
     case None =>
-      new GraftScan(path, pushed, required, probes, limit, maxBatchesPerTrigger)
+      new GraftScan(path, pushed, required, probes, limit, maxBatchesPerTrigger, untilBatch)
   }
 }
 
 class GraftScan(path: String, pushed: Array[Filter], required: StructType,
                 tokenProbes: Array[Int], limit: Option[Int],
-                maxBatchesPerTrigger: Option[Int])
+                maxBatchesPerTrigger: Option[Int],
+                untilBatch: Option[Long] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -224,9 +229,15 @@ class GraftScan(path: String, pushed: Array[Filter], required: StructType,
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(
-      checkpointLocation: String): streaming.MicroBatchStream =
+      checkpointLocation: String): streaming.MicroBatchStream = {
+    // a silently ignored snapshot bound would read as "stream the whole
+    // tree" — refuse instead (AvailableNow + retention cover bounded reads)
+    require(untilBatch.isEmpty,
+      "untilBatch is a BATCH-read snapshot option; the incremental stream " +
+        "has its own frontier semantics")
     new GraftMicroBatchStream(path, pushed, required, tokenProbes,
       maxBatchesPerTrigger)
+  }
   override def description(): String =
     s"graft:$path prunedFilters=[${pushed.mkString(", ")}] " +
       s"columns=[${required.fieldNames.mkString(", ")}]" +
@@ -238,7 +249,13 @@ class GraftScan(path: String, pushed: Array[Filter], required: StructType,
   // resolved, manifests unioned and zone-map/sketch pruned in one Spark job
   private lazy val planned: Array[(String, Lineage.ManifestRow)] = {
     val spark = SparkSession.active
-    val dirs = GraftPlanning.resolveReadDirs(spark, path)
+    val dirs0 = GraftPlanning.resolveReadDirs(spark, path)
+    // time travel: "the corpus as of batch n" — drop later batches (a
+    // plain lineage dir has no batch numbers; untilBatch then reads all)
+    val dirs = untilBatch match {
+      case Some(n) => dirs0.filter(d => Lineage.batchNumber(d).forall(_ <= n))
+      case None    => dirs0
+    }
     GraftPlanning.prunedManifest(spark, dirs, pushed, tokenProbes)
   }
   private lazy val dicts: Map[String, Option[Array[Byte]]] =
@@ -480,7 +497,8 @@ private[spark] object GraftPlanning {
 /** A completely-pushed global aggregate: the answer comes from the
   * manifests alone — ONE tiny Spark job over chunk framing rows, zero
   * chunk opens, one output row. count(*) over 100 TB reads kilobytes. */
-class GraftAggScan(path: String, cols: Seq[GraftAggCol])
+class GraftAggScan(path: String, cols: Seq[GraftAggCol],
+                   untilBatch: Option[Long] = None)
     extends Scan with Batch {
   override def toBatch: Batch = this
   override def readSchema(): StructType = StructType(cols.map {
@@ -494,7 +512,13 @@ class GraftAggScan(path: String, cols: Seq[GraftAggCol])
 
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
-    val dirs = GraftPlanning.resolveReadDirs(spark, path)
+    val dirs0 = GraftPlanning.resolveReadDirs(spark, path)
+    // the manifest-only answer must honor the same time-travel cut as the
+    // row scan (count() as of batch n counts batches <= n, not the tree)
+    val dirs = untilBatch match {
+      case Some(n) => dirs0.filter(d => Lineage.batchNumber(d).forall(_ <= n))
+      case None    => dirs0
+    }
     val values: Array[Any] =
       if (dirs.isEmpty) cols.map {
         case AggCountRows => 0L

@@ -98,6 +98,26 @@ class GraftStreamWriteSpec extends AnyFunSuite {
       assert(back(r.doc_id).tokens.sameElements(r.tokens)))
   }
 
+  test("untilBatch time travel: the corpus as of batch n, reproducibly") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-tt").toString
+    val cfg = EncoderConfig(chunkTokens = 1 << 10, numPartitions = 1)
+    (0 to 2).foreach { b =>
+      val d = f"$root/batch=$b%05d"
+      Lineage.encodeToDir(spark.createDataset(rowsOf(b)), d, cfg)
+      Lineage.markBatchReady(spark, d)
+    }
+    def asOf(n: Long): Long = spark.read.format("graft")
+      .option("untilBatch", n.toString).load(root).count()
+    assert(asOf(0) == 200L && asOf(1) == 400L && asOf(2) == 600L)
+    // appending batch 3 does NOT change the as-of-1 snapshot
+    val d3 = f"$root/batch=${3}%05d"
+    Lineage.encodeToDir(spark.createDataset(rowsOf(3)), d3, cfg)
+    Lineage.markBatchReady(spark, d3)
+    assert(asOf(1) == 400L)
+    assert(spark.read.format("graft").load(root).count() == 800L)
+  }
+
   test("expireBatchesBelow: retention never breaks a checkpointed reader") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-exp").toString
