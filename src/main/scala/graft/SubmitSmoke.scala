@@ -27,9 +27,17 @@ object SubmitSmoke {
     require(g.count() == 500L, "count through the pushed aggregate")
     val rolled = g.groupBy("source").count().count()
     require(rolled >= 1L, "column-pruned rollup")
-    // the extensions' rule path (array_contains -> containment probe)
-    val probed = g.filter(array_contains(col("tokens"), lit(0))).count()
-    require(probed >= 0L)
+    // the extensions' rule path (array_contains -> containment probe):
+    // the PLAN must show the folded probe (proof the rule fired from the
+    // jar) and the count must equal the driver-side recomputation
+    val probedDf = g.filter(array_contains(col("tokens"), lit(0)))
+    require(probedDf.queryExecution.executedPlan.toString
+        .contains("containsToken=0"),
+      "PushTokenContains rule did not fold the filter into the scan")
+    val expected = (0L until 500L)
+      .count(i => Corpus.row(42L, i).tokens.contains(0)).toLong
+    require(probedDf.count() == expected,
+      s"containment count mismatch (expected $expected)")
     // SQL function surface from the extensions
     val dec = spark.sql("SELECT decode_tokens(encode_tokens(array(1,2,3)))")
       .collect()(0).getSeq[Int](0)

@@ -189,6 +189,13 @@ object DedupQueries {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
+    // a clean corpus has no verified pairs: the empty cluster table IS the
+    // answer (and the sum-potential below would be a null decimal)
+    if (labels.isEmpty) {
+      sh.unpersist(); pairs.unpersist(); edges.unpersist()
+      return labels.groupBy(col("label").as("cluster_rep"))
+        .agg(count(lit(1)).as("size"))
+    }
     // labels only ever DECREASE (min-propagation), so the label sum is a
     // strictly decreasing potential: unchanged sum == converged. One cheap
     // aggregate per round instead of a change-detection join.
@@ -214,6 +221,10 @@ object DedupQueries {
     }
     if (!converged) throw new IllegalStateException(
       s"dedup_clusters did not converge in $maxIter rounds — raise the cap")
+    // labels is an EAGER localCheckpoint — the result below depends only on
+    // it, so the intermediate caches can be released instead of pinning
+    // executor storage for the rest of the session
+    sh.unpersist(); pairs.unpersist(); edges.unpersist()
     labels.groupBy(col("label").as("cluster_rep"))
       .agg(count(lit(1)).as("size"))
       .orderBy(col("cluster_rep"))

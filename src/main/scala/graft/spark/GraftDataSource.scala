@@ -121,7 +121,11 @@ class GraftScanBuilder(path: String, options: CaseInsensitiveStringMap)
   // time travel over a batch tree: read only batches numbered <= n — an
   // append-only tree makes "the corpus as of batch n" a pure filter
   private val untilBatch: Option[Long] =
-    Option(options.get("untilbatch")).map(_.toLong)
+    Option(options.get("untilbatch")).map { v =>
+      require(v.toLongOption.isDefined && v.toLong >= 0,
+        s"untilBatch must be a non-negative batch number, got '$v'")
+      v.toLong
+    }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     // doc_id comparisons prune CHUNKS via the manifest zone map; rows still
@@ -242,20 +246,15 @@ class GraftScan(path: String, pushed: Array[Filter], required: StructType,
     s"graft:$path prunedFilters=[${pushed.mkString(", ")}] " +
       s"columns=[${required.fieldNames.mkString(", ")}]" +
       (if (tokenProbes.isEmpty) "" else s" containsToken=${tokenProbes.mkString(",")}") +
-      limit.fold("")(n => s" limit=$n")
+      limit.fold("")(n => s" limit=$n") +
+      untilBatch.fold("")(n => s" untilBatch=$n")
 
   // ONE (bounded) driver-side planning pass, shared by estimateStatistics
   // (optimization time) and planInputPartitions (physical planning): dirs
   // resolved, manifests unioned and zone-map/sketch pruned in one Spark job
   private lazy val planned: Array[(String, Lineage.ManifestRow)] = {
     val spark = SparkSession.active
-    val dirs0 = GraftPlanning.resolveReadDirs(spark, path)
-    // time travel: "the corpus as of batch n" — drop later batches (a
-    // plain lineage dir has no batch numbers; untilBatch then reads all)
-    val dirs = untilBatch match {
-      case Some(n) => dirs0.filter(d => Lineage.batchNumber(d).forall(_ <= n))
-      case None    => dirs0
-    }
+    val dirs = GraftPlanning.resolveReadDirs(spark, path, untilBatch)
     GraftPlanning.prunedManifest(spark, dirs, pushed, tokenProbes)
   }
   private lazy val dicts: Map[String, Option[Array[Byte]]] =
@@ -380,18 +379,32 @@ private[spark] object GraftPlanning {
     * (READY-marked only when the tree is marker-aware — an in-flight
     * half-written batch, even the very first one, is invisible to batch
     * reads too; marker-less at-rest trees read in full). */
-  def resolveReadDirs(spark: SparkSession, path: String): Seq[String] = {
+  def resolveReadDirs(spark: SparkSession, path: String,
+                      untilBatch: Option[Long] = None): Seq[String] = {
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
       spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/_lineage"))) Seq(path)
-    else {
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/_lineage"))) {
+      // a plain table has no batch numbers: a snapshot bound here would be
+      // silently meaningless — refuse, like the streaming path does
+      require(untilBatch.isEmpty,
+        s"untilBatch is a batch-TREE snapshot option; $path is a plain " +
+          "lineage table")
+      Seq(path)
+    } else {
       val visible = Lineage.visibleBatchDirs(spark, path)
       if (visible.isEmpty && Lineage.batchDirs(spark, path).isEmpty &&
           !Lineage.isStreamTree(spark, path))
         throw new IllegalArgumentException(
           s"$path holds neither a lineage table (_lineage/) nor batch=N " +
             "subdirectories")
-      visible
+      // time travel: "the corpus as of batch n" (ONE copy of the cut — a
+      // second scan variant resolving dirs itself was exactly how count(*)
+      // once ignored the bound)
+      untilBatch match {
+        case Some(n) =>
+          visible.filter(d => Lineage.batchNumber(d).forall(_ <= n))
+        case None => visible
+      }
     }
   }
 
@@ -508,17 +521,14 @@ class GraftAggScan(path: String, cols: Seq[GraftAggCol],
     case AggSumNTok   => StructField("sum_n_tok", LongType, nullable = true)
   })
   override def description(): String =
-    s"graft:$path manifest-only aggregate [${cols.mkString(", ")}]"
+    s"graft:$path manifest-only aggregate [${cols.mkString(", ")}]" +
+      untilBatch.fold("")(n => s" untilBatch=$n")
 
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
-    val dirs0 = GraftPlanning.resolveReadDirs(spark, path)
-    // the manifest-only answer must honor the same time-travel cut as the
-    // row scan (count() as of batch n counts batches <= n, not the tree)
-    val dirs = untilBatch match {
-      case Some(n) => dirs0.filter(d => Lineage.batchNumber(d).forall(_ <= n))
-      case None    => dirs0
-    }
+    // the manifest-only answer honors the same time-travel cut as the row
+    // scan (count() as of batch n counts batches <= n, not the tree)
+    val dirs = GraftPlanning.resolveReadDirs(spark, path, untilBatch)
     val values: Array[Any] =
       if (dirs.isEmpty) cols.map {
         case AggCountRows => 0L

@@ -93,10 +93,16 @@ class ChunkBuilderFuzzSpec extends AnyFunSuite with GenChecks {
         val c = ChunkBuilder.openColumns(evil, null, withTokens = true,
           withDocIds = true)
         // a flip the CRC caught? then we never get here; if decode DID
-        // succeed the flip must have been in dead framing bytes and the
-        // columns must still be exactly right
+        // succeed the flip must have been in dead framing bytes and EVERY
+        // column must still be exactly right — ids, sources, lens, tokens
         assert(c.nRows == 50 && c.tokens.length == 1000)
-        (0 until 50).foreach(i => assert(c.docIds(i) == f"doc-$i%04d"))
+        (0 until 50).foreach { i =>
+          assert(c.docIds(i) == f"doc-$i%04d")
+          assert(c.srcDict(c.srcIdx(i)) == "s")
+          assert(c.rowLens(i) == 20)
+          (0 until 20).foreach(t =>
+            assert(c.tokens(i * 20 + t) == i * 31 + t))
+        }
       } catch {
         case _: graft.codec.CorruptException    => () // typed: ok
         case _: graft.codec.TruncatedException.type => () // typed: ok
