@@ -104,22 +104,19 @@ object ChunkBuilder {
   def open(c: EncodedChunk): Iterator[SeqRow] = open(c, null)
 
   def open(c: EncodedChunk, sharedMeta: MetaDict): Iterator[SeqRow] = {
-    val tokens = TokenCodec.decodeOrThrow(c.payload)
-    if (tokens.length.toLong != c.n_tokens)
-      throw CorruptException(s"chunk ${c.chunk_id}: token count mismatch")
-    val (rowLens, srcIdx, srcDict, docIds) = openSections(c, sharedMeta,
+    // row-sliced view OVER the columnar decode — one decode implementation
+    // (openColumns carries all the validation), one slicing policy here
+    val cols = openColumns(c, sharedMeta, withTokens = true,
       withDocIds = true)
     new Iterator[SeqRow] {
       private var row = 0
       private var off = 0
-      def hasNext: Boolean = row < c.n_rows
+      def hasNext: Boolean = row < cols.nRows
       def next(): SeqRow = {
-        val len = rowLens(row)
-        if (off + len > tokens.length)
-          throw CorruptException(s"chunk ${c.chunk_id}: row overrun")
-        val toks = java.util.Arrays.copyOfRange(tokens, off, off + len)
-        val out = SeqRow(docIds(row), toks, len,
-          srcOf(c, srcDict, srcIdx(row)))
+        val len = cols.rowLens(row)
+        val toks = java.util.Arrays.copyOfRange(cols.tokens, off, off + len)
+        val out = SeqRow(cols.docIds(row), toks, len,
+          cols.srcDict(cols.srcIdx(row)))
         off += len
         row += 1
         out

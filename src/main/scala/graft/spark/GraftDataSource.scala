@@ -111,7 +111,11 @@ class GraftScanBuilder(path: String, options: CaseInsensitiveStringMap)
   // (exact — the reader filters rows, the planner prunes chunks)
   private val probes: Array[Int] =
     Option(options.get("containstoken")).toArray
-      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).map(_.toInt)
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty).map { v =>
+        require(v.toIntOption.isDefined,
+          s"containsToken must be int token ids (comma-separated), got '$v'")
+        v.toInt
+      }
   private val maxBatchesPerTrigger: Option[Int] =
     Option(options.get("maxbatchespertrigger")).map { s =>
       val n = s.toInt
@@ -480,8 +484,12 @@ private[spark] object GraftPlanning {
            dicts: Map[String, Option[Array[Byte]]],
            probes: Array[Int]): Array[InputPartition] = {
     if (rows.isEmpty) return Array.empty
-    val maxBytes = spark.conf.get("graft.read.maxPartitionBytes",
-      (128L * 1024 * 1024).toString).toLong
+    val maxBytesStr = spark.conf.get("graft.read.maxPartitionBytes",
+      (128L * 1024 * 1024).toString)
+    val maxBytes = maxBytesStr.toLongOption.filter(_ > 0).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft.read.maxPartitionBytes must be a positive byte count, " +
+          s"got '$maxBytesStr'"))
     val total = rows.iterator.map(_._2.enc_bytes).sum
     val par = math.max(1, spark.sparkContext.defaultParallelism)
     val target = math.max(1L,
