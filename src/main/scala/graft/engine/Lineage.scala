@@ -526,6 +526,19 @@ object Lineage {
   def compactBatchTree(spark: SparkSession, root: String): Long =
     batchDirs(spark, root).map(d => compactManifest(spark, d)).sum
 
+  /** Compact a streaming batch TREE into one at-rest lineage TABLE: a
+    * year of micro-batches leaves thousands of small batch dirs whose
+    * chunks are epoch-sized; re-encoding through the normal deterministic
+    * arrange gives full-size chunks, one shared dictionary, and one
+    * manifest — the table the batch readers actually want. Composition of
+    * the two existing primitives (tree decode -> dir encode), so resume
+    * soundness, atomic commits, and byte-determinism are inherited, not
+    * re-implemented. Typical flow: compactTreeToTable, verify, then
+    * expireBatchesBelow on the consumed range. */
+  def compactTreeToTable(spark: SparkSession, root: String, dst: String,
+                         cfg: EncoderConfig): Long =
+    encodeToDir(decodeBatchTree(spark, root), dst, cfg)
+
   /** Retention for streaming trees: delete every READY batch whose number
     * is strictly below `minBatchKept`, returning how many were removed. A
     * tree written forever grows forever — downstream consumers checkpoint

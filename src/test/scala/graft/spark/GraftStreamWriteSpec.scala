@@ -98,6 +98,39 @@ class GraftStreamWriteSpec extends AnyFunSuite {
       assert(back(r.doc_id).tokens.sameElements(r.tokens)))
   }
 
+  test("compactTreeToTable: epoch-sized batches become one at-rest table") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-cmp").toString
+    val dst = java.nio.file.Files.createTempDirectory("graft-cmp-dst").toString
+    val cfg = EncoderConfig(chunkTokens = 1 << 8, numPartitions = 1)
+    (0 to 4).foreach { b =>
+      val d = f"$root/batch=$b%05d"
+      Lineage.encodeToDir(spark.createDataset(rowsOf(b)), d, cfg)
+      Lineage.markBatchReady(spark, d)
+    }
+    // many tiny per-epoch chunks -> few full-size chunks, rows identical
+    val parts = Lineage.compactTreeToTable(spark, root, dst,
+      EncoderConfig(chunkTokens = 1 << 16, numPartitions = 2))
+    assert(parts == 2L)
+    val src = Lineage.decodeBatchTree(spark, root).collect()
+      .map(r => r.doc_id -> r).toMap
+    val got = spark.read.format("graft").load(dst).collect()
+      .map(r => (r.getString(0), r.getSeq[Int](1), r.getString(3))).toList
+    assert(got.size == 1000)
+    got.foreach { case (id, toks, srcCol) =>
+      assert(src(id).tokens.toSeq == toks && src(id).source == srcCol)
+    }
+    val srcChunks = Lineage.batchDirs(spark, root)
+      .map(d => Lineage.readManifest(spark, d).count()).sum
+    val dstChunks = Lineage.readManifest(spark, dst).count()
+    assert(dstChunks < srcChunks,
+      s"compaction must shrink chunk count ($srcChunks -> $dstChunks)")
+    // the compacted table prunes like any other
+    val probe = spark.read.format("graft").load(dst)
+      .filter(org.apache.spark.sql.functions.col("doc_id") === "doc-03-000042")
+    assert(probe.count() == 1L)
+  }
+
   test("untilBatch time travel: the corpus as of batch n, reproducibly") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-tt").toString
