@@ -530,14 +530,31 @@ object Lineage {
     * year of micro-batches leaves thousands of small batch dirs whose
     * chunks are epoch-sized; re-encoding through the normal deterministic
     * arrange gives full-size chunks, one shared dictionary, and one
-    * manifest — the table the batch readers actually want. Composition of
-    * the two existing primitives (tree decode -> dir encode), so resume
-    * soundness, atomic commits, and byte-determinism are inherited, not
-    * re-implemented. Typical flow: compactTreeToTable, verify, then
-    * expireBatchesBelow on the consumed range. */
+    * manifest — the table the batch readers actually want.
+    *
+    * The input is PINNED, never "the tree right now": only READY batches
+    * with number <= `untilBatch` are consumed. That pin is what makes the
+    * inherited guarantees true on a LIVE tree — an in-flight batch (dir
+    * present, no ready marker) is never half-captured, and a failed
+    * compaction re-run with the same `untilBatch` decodes the identical
+    * input, which is encodeToDir's resume precondition (batches readied
+    * after the pin don't leak into skipped partitions). The caller then
+    * expires exactly the consumed range: `expireBatchesBelow(root,
+    * untilBatch + 1)` — no listing race, because the pin IS the frontier.
+    * The decoded Dataset is persisted across encodeToDir's two passes
+    * (dict training + encode) so the tree's payloads decode once. */
   def compactTreeToTable(spark: SparkSession, root: String, dst: String,
-                         cfg: EncoderConfig): Long =
-    encodeToDir(decodeBatchTree(spark, root), dst, cfg)
+                         cfg: EncoderConfig, untilBatch: Long): Long = {
+    import spark.implicits._
+    val dirs = readyBatchDirs(spark, root).filter(d =>
+      batchNumber(d).exists(_ <= untilBatch))
+    val ds = dirs.map(d => decodeFromDir(spark, d))
+      .reduceOption(_ union _)
+      .getOrElse(spark.emptyDataset[SeqRow])
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try encodeToDir(ds, dst, cfg)
+    finally { ds.unpersist(); () }
+  }
 
   /** Retention for streaming trees: delete every READY batch whose number
     * is strictly below `minBatchKept`, returning how many were removed. A

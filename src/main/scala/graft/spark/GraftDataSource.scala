@@ -452,7 +452,10 @@ private[spark] object GraftPlanning {
       t = t.filter(col("_2.min_tok") <= v && col("_2.max_tok") >= v)
         .filter(e => TokenSketch.mightContain(e._2.tok_set, e._2.min_tok, v))
     }
-    val cap = spark.conf.get("graft.plan.maxChunks", "2000000").toInt
+    val capStr = spark.conf.get("graft.plan.maxChunks", "2000000")
+    val cap = capStr.toIntOption.filter(_ > 0).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft.plan.maxChunks must be a positive chunk count, got '$capStr'"))
     val rows = t.limit(cap + 1).collect()
     if (rows.length > cap) throw new IllegalStateException(
       s"graft planning over ${dirs.size} dir(s) admits more than $cap " +

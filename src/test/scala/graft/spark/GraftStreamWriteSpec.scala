@@ -108,19 +108,22 @@ class GraftStreamWriteSpec extends AnyFunSuite {
       Lineage.encodeToDir(spark.createDataset(rowsOf(b)), d, cfg)
       Lineage.markBatchReady(spark, d)
     }
-    // many tiny per-epoch chunks -> few full-size chunks, rows identical
+    // an in-flight batch (no ready marker) must NOT be captured
+    Lineage.encodeToDir(spark.createDataset(rowsOf(9)),
+      f"$root/batch=${9}%05d", cfg) // written, never readied
+    // many tiny per-epoch chunks -> few full-size chunks, rows identical;
+    // the input is PINNED at untilBatch=4 (the consumed frontier)
     val parts = Lineage.compactTreeToTable(spark, root, dst,
-      EncoderConfig(chunkTokens = 1 << 16, numPartitions = 2))
+      EncoderConfig(chunkTokens = 1 << 16, numPartitions = 2), untilBatch = 4L)
     assert(parts == 2L)
-    val src = Lineage.decodeBatchTree(spark, root).collect()
-      .map(r => r.doc_id -> r).toMap
+    val src = (0 to 4).flatMap(rowsOf(_)).map(r => r.doc_id -> r).toMap
     val got = spark.read.format("graft").load(dst).collect()
       .map(r => (r.getString(0), r.getSeq[Int](1), r.getString(3))).toList
     assert(got.size == 1000)
     got.foreach { case (id, toks, srcCol) =>
       assert(src(id).tokens.toSeq == toks && src(id).source == srcCol)
     }
-    val srcChunks = Lineage.batchDirs(spark, root)
+    val srcChunks = Lineage.readyBatchDirs(spark, root)
       .map(d => Lineage.readManifest(spark, d).count()).sum
     val dstChunks = Lineage.readManifest(spark, dst).count()
     assert(dstChunks < srcChunks,
