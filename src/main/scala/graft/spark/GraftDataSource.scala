@@ -990,6 +990,10 @@ private[spark] object MetaDictCache {
   def get(bytes: Array[Byte]): MetaDict = {
     val crc = new java.util.zip.CRC32
     crc.update(bytes)
+    // a long-lived executor serving MANY table dirs accumulates entries;
+    // dicts are small (KBs) but unbounded growth is unbounded — reset
+    // wholesale past a generous cap (refill costs one rebuild per dict)
+    if (cache.size > 256) cache.clear()
     cache.computeIfAbsent(s"${bytes.length}:${crc.getValue}",
       _ => MetaDict.fromBytes(bytes))
   }
