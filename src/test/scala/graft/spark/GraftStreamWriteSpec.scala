@@ -98,6 +98,29 @@ class GraftStreamWriteSpec extends AnyFunSuite {
       assert(back(r.doc_id).tokens.sameElements(r.tokens)))
   }
 
+  test("stream read honors the containment probe (same semantics as batch)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-sp").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sp-ck").toString
+    val cfg = EncoderConfig(chunkTokens = 1 << 10, numPartitions = 1)
+    (0 to 1).foreach { b =>
+      val d = f"$root/batch=$b%05d"
+      Lineage.encodeToDir(spark.createDataset(rowsOf(b)), d, cfg)
+      Lineage.markBatchReady(spark, d)
+    }
+    val got = scala.collection.mutable.Set.empty[String]
+    val q = spark.readStream.format("graft")
+      .option("containsToken", "1042").load(root) // batch 1, row 42 only
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        got ++= df.collect().map(_.getString(0)); ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(got == Set("doc-01-000042"), s"got $got")
+  }
+
   test("compactTreeToTable: epoch-sized batches become one at-rest table") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-cmp").toString
