@@ -598,6 +598,12 @@ object Lineage {
     val fs = FileSystem.get(new java.net.URI(dir), conf)
     val in = fs.open(new Path(s"$dir/data/${pn(m.part_id)}.graft"))
     try {
+      // typed bound BEFORE the narrowing: a manifest frame length past the
+      // 2 GB array limit must fail as corruption, not as an untyped
+      // NegativeArraySizeException from the Int overflow
+      if (m.length < 0 || m.length > Int.MaxValue - 8)
+        throw graft.codec.CorruptException(
+          s"chunk frame length ${m.length} out of addressable bounds")
       in.seek(m.offset)
       val buf = new Array[Byte](m.length.toInt)
       in.readFully(buf)
@@ -626,7 +632,8 @@ object Lineage {
       // frame must fail typed, never allocate from hostile lengths
       val metaAt = r.pos.toLong + pLen
       val metaBytes = m.length - metaAt
-      if (pLen < 0 || metaAt < 0 || metaBytes < 1 || metaBytes > m.length)
+      if (pLen < 0 || metaAt < 0 || metaBytes < 1 || metaBytes > m.length ||
+          metaBytes > Int.MaxValue - 8)
         throw graft.codec.CorruptException(
           s"chunk frame payload length $pLen out of bounds (frame ${m.length})")
       in.seek(m.offset + metaAt)

@@ -46,9 +46,13 @@ object DedupQueries {
     * "no duplicates" otherwise). */
   private[queries] def guardBucketsWithStats(buckets: DataFrame, key: String,
       cap: Int = MaxBucket): (DataFrame, DataFrame) = {
+    // deliberately NOT cached: the frame is read by two separate actions
+    // at most (semi-join build + the 1-row stats aggregate), and a cache
+    // here outlives the query — session-lifetime pinned blocks nobody
+    // releases. Recomputing the per-bucket count once is cheaper than a
+    // leak on a long-lived session.
     val sizes = buckets.groupBy(col(key))
       .agg(count(lit(1)).as("__bucket_n"))
-      .cache() // tiny (one row per bucket); read twice below
     val small = sizes.filter(col("__bucket_n") <= cap).select(col(key))
     val kept = buckets.join(small, Seq(key), "left_semi")
     val stats = sizes.agg(
@@ -177,25 +181,39 @@ object DedupQueries {
     * undercount duplicates. Oracled vs an independent Python union-find
     * over the same pairs (tools/gen_cluster_fixture.py). */
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sc = s.sparkContext
+    // eager localCheckpoint + the set of storage blocks it pinned: the
+    // ONLY way to release a superseded generation deterministically
+    // (Dataset.unpersist covers cacheManager entries, not checkpoint
+    // blocks; without this, every round's generation stays pinned until
+    // the driver GCs the last reference)
+    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val cp = df.localCheckpoint(true)
+      (cp, sc.getPersistentRDDs.keySet.toSet -- before)
+    }
+    def release(ids: Set[Int]): Unit =
+      ids.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
     val sh = shingled(s, dir).cache()
     val pairs = verifiedCandidates(s, sh)
       .filter(col("jaccard") >= 0.8)
       .select(col("id_a"), col("id_b"))
       .cache()
+    // a clean corpus has no verified pairs: the empty cluster table IS the
+    // answer (and the sum-potential below would be a null decimal)
+    if (pairs.isEmpty) {
+      sh.unpersist(); pairs.unpersist()
+      return s.emptyDataset[(Long, Long)].toDF("cluster_rep", "size")
+    }
     val edges = pairs
       .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .toDF("src", "dst")
       .cache()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(true)
-    // a clean corpus has no verified pairs: the empty cluster table IS the
-    // answer (and the sum-potential below would be a null decimal)
-    if (labels.isEmpty) {
-      sh.unpersist(); pairs.unpersist(); edges.unpersist()
-      return labels.groupBy(col("label").as("cluster_rep"))
-        .agg(count(lit(1)).as("size"))
-    }
+    var (labels, labelIds) = checkpointTracked(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id")))
     // labels only ever DECREASE (min-propagation), so the label sum is a
     // strictly decreasing potential: unchanged sum == converged. One cheap
     // aggregate per round instead of a change-detection join.
@@ -208,26 +226,31 @@ object DedupQueries {
       val viaEdges = edges
         .join(labels.select(col("id").as("src"), col("label")), "src")
         .select(col("dst").as("id"), col("label"))
-      val next = labels.select(col("id"), col("label")).union(viaEdges)
-        .groupBy(col("id")).agg(min(col("label")).as("label"))
-        .localCheckpoint(true)
+      val (next, nextIds) = checkpointTracked(
+        labels.select(col("id"), col("label")).union(viaEdges)
+          .groupBy(col("id")).agg(min(col("label")).as("label")))
       val sum = BigDecimal(next
         .agg(org.apache.spark.sql.functions.sum(col("label").cast("decimal(38,0)")))
         .collect()(0).getDecimal(0))
       converged = sum == prevSum
       prevSum = sum
-      labels = next
+      release(labelIds) // the superseded generation, eagerly
+      labels = next; labelIds = nextIds
       iter += 1
     }
     if (!converged) throw new IllegalStateException(
       s"dedup_clusters did not converge in $maxIter rounds — raise the cap")
-    // labels is an EAGER localCheckpoint — the result below depends only on
-    // it, so the intermediate caches can be released instead of pinning
-    // executor storage for the rest of the session
+    // checkpoint the (one-row-per-CLUSTER, much smaller than per-doc
+    // labels) result eagerly so the per-doc generation can be released
+    // too: the returned frame pins exactly one small block, which the
+    // ContextCleaner reclaims when the caller drops it
+    val (result, _) = checkpointTracked(
+      labels.groupBy(col("label").as("cluster_rep"))
+        .agg(count(lit(1)).as("size"))
+        .orderBy(col("cluster_rep")))
+    release(labelIds)
     sh.unpersist(); pairs.unpersist(); edges.unpersist()
-    labels.groupBy(col("label").as("cluster_rep"))
-      .agg(count(lit(1)).as("size"))
-      .orderBy(col("cluster_rep"))
+    result
   }
 
   val dedupClustersSql: String =

@@ -309,7 +309,13 @@ object EngineQueries {
     import s.implicits._
     val n = math.min(rowsForDir(dir), 5000L)
     val ds = Corpus.table(s, n, partitions = 4)
-    val out = java.nio.file.Files.createTempDirectory("graft-lineage-q").toString
+    // STABLE fingerprint-keyed scratch (same pattern as scratchGraftTable):
+    // repeated bench/driver runs reuse ONE dir instead of growing /tmp
+    // without bound. Truncated up front so "first run encodes everything,
+    // resume skips everything" stays true — the contract the oracle pins.
+    val out =
+      s"${sys.props("java.io.tmpdir")}/graft_lineage_q_n${n}_v${EngineQueries.codeFingerprint}"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
     val cfg = EncoderConfig(chunkTokens = 1 << 17, numPartitions = 4)
     val first = Lineage.encodeToDir(ds, out, cfg)
     val resumed = Lineage.encodeToDir(ds, out, cfg) // must skip everything

@@ -406,7 +406,17 @@ private[spark] object GraftPlanning {
       // once ignored the bound)
       untilBatch match {
         case Some(n) =>
-          visible.filter(d => Lineage.batchNumber(d).forall(_ <= n))
+          // an UNNUMBERED batch dir (manual layouts can contain them) has
+          // no position in the snapshot order — "as of batch n" over it
+          // would silently include unordered data; refuse loudly, like the
+          // stream reader does
+          val unnumbered =
+            visible.filter(d => Lineage.batchNumber(d).isEmpty)
+          require(unnumbered.isEmpty,
+            s"untilBatch=$n snapshot over $path: batch dir(s) without a " +
+              s"batch number have no snapshot position: " +
+              unnumbered.mkString(", "))
+          visible.filter(d => Lineage.batchNumber(d).exists(_ <= n))
         case None => visible
       }
     }
@@ -796,6 +806,17 @@ class GraftWrite(path: String, inputSchema: StructType, doTruncate: Boolean,
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
       spark.sparkContext.hadoopConfiguration)
     import org.apache.hadoop.fs.Path
+    // mirror image of the streaming sink's plain-table guard: a batch
+    // write into a batch-TREE root would mkdir `$path/_lineage`, after
+    // which resolveReadDirs resolves the ROOT as a plain table and every
+    // batch=N subdir goes silently invisible to batch reads (and a
+    // restarted stream reader fails on its root check) — refuse up front
+    if (Lineage.isStreamTree(spark, path) ||
+        Lineage.batchDirs(spark, path).nonEmpty)
+      throw new IllegalArgumentException(
+        s"$path is a batch TREE (streaming-sink output / batch=N layout) " +
+          "— batch writes target plain lineage tables; use writeStream " +
+          "or a fresh root")
     if (doTruncate) {
       fs.delete(new Path(s"$path/data"), true)
       fs.delete(new Path(s"$path/_lineage"), true)
@@ -877,9 +898,9 @@ class GraftStreamingWrite(path: String, inputSchema: StructType,
     val spark = SparkSession.active
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
       spark.sparkContext.hadoopConfiguration)
-    // an all-empty epoch writes no files; only READY-mark dirs that hold a
-    // lineage (markers on phantom dirs would be orphans anyway — readers
-    // require _lineage — but don't litter)
+    // an all-empty epoch writes no files (GraftDataWriter.commit skips
+    // the committer when no chunk was ever added), so no batch dir exists
+    // to mark; only READY-mark dirs that hold a lineage
     val d = epochDir(epochId)
     if (fs.exists(new org.apache.hadoop.fs.Path(s"$d/_lineage")))
       Lineage.markBatchReady(spark, d)
@@ -939,9 +960,10 @@ class GraftDataWriter(dir: String, conf: Configuration, pid: Int,
     // grouping to the pull version
     if (docIds.nonEmpty && (nTok >= chunkTokens || docIds.length >= maxRows))
       flush()
-    if (row.isNullAt(0) || row.isNullAt(1) || row.isNullAt(3))
+    if (row.isNullAt(0) || row.isNullAt(1) || row.isNullAt(2) ||
+        row.isNullAt(3))
       throw new IllegalArgumentException(
-        "graft sink: doc_id, tokens and source must be non-null " +
+        "graft sink: doc_id, tokens, n_tok and source must be non-null " +
           s"(partition $pid)")
     val arr = row.getArray(1).toIntArray()
     val n = row.getInt(2)
@@ -971,7 +993,12 @@ class GraftDataWriter(dir: String, conf: Configuration, pid: Int,
     if (skip) GraftCommitMessage(pid, committed = false)
     else {
       if (docIds.nonEmpty) flush()
-      GraftCommitMessage(pid, committer.commit())
+      // an all-empty partition writes NOTHING — no empty data file, no
+      // empty manifest. An all-empty streaming epoch therefore creates no
+      // batch dir at all (and is never READY-marked); resume re-running
+      // an empty partition is a deterministic no-op
+      if (seqNo == 0) GraftCommitMessage(pid, committed = false)
+      else GraftCommitMessage(pid, committer.commit())
     }
   override def abort(): Unit = if (!skip) committer.abort()
   override def close(): Unit = ()

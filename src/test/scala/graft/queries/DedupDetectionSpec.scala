@@ -101,4 +101,33 @@ class DedupDetectionSpec extends AnyFunSuite {
       s"injected near-dup not found: $out")
     assert(out(2L) == 0.0 && out(3L) == 0.0, s"false positive: $out")
   }
+
+  test("dedupClusters releases its checkpoint generations (no pinned blocks)") {
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    val docs = Seq(
+      (0L, base, "en", "src0", base.length.toLong),
+      (1L, nearDup, "en", "src0", nearDup.length.toLong),
+      (2L, base + " tail", "en", "src0", (base.length + 5).toLong),
+      (3L, unrelated, "en", "src1", unrelated.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("dedup-cl").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val res = DedupQueries.dedupClusters(spark, dir)
+    val rows = res.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // docs 0/1/2 are one near-dup cluster; 3 is clean (no row)
+    assert(rows.toSeq == Seq((0L, 3L)), s"clusters were ${rows.toSeq}")
+    // the ~25 per-round label generations were released inside the query;
+    // only the (one-row-per-cluster) RESULT checkpoint may remain pinned
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+    leaked.foreach { id =>
+      val r = spark.sparkContext.getPersistentRDDs(id)
+      info(s"leaked RDD $id: ${r.name} / ${r.toString} level=${r.getStorageLevel}")
+    }
+    assert(leaked.size <= 1,
+      s"dedupClusters left ${leaked.size} pinned RDDs: $leaked")
+    leaked.foreach(id =>
+      spark.sparkContext.getPersistentRDDs(id).unpersist(blocking = true))
+  }
 }

@@ -252,4 +252,84 @@ class GraftStreamWriteSpec extends AnyFunSuite {
     assert(d.select("doc_id").collect().map(_.getString(0)).toSet ==
       (0 to 2).flatMap(rowsOf(_)).map(_.doc_id).toSet)
   }
+
+  test("batch write refuses a batch-TREE root (mirror of the streaming guard)") {
+    import spark.implicits._
+    val cfg = EncoderConfig(chunkTokens = 1 << 10, numPartitions = 1)
+    val df = spark.createDataset(rowsOf(0)).toDF()
+    // a tree with a committed batch: a batch write would mkdir _lineage at
+    // the ROOT and make every batch=N subdir invisible to batch reads
+    val tree = java.nio.file.Files.createTempDirectory("graft-tw").toString
+    Lineage.encodeToDir(spark.createDataset(rowsOf(1)),
+      f"$tree/batch=${0}%05d", cfg)
+    Lineage.markBatchReady(spark, f"$tree/batch=${0}%05d")
+    val e1 = intercept[Exception] {
+      df.write.format("graft").mode("append").save(tree)
+    }
+    assert(e1.getMessage.contains("batch TREE"), e1.getMessage)
+    // overwrite is refused too: truncate clears the ROOT's table files but
+    // not the batch subdirs — the "overwritten" table would resurrect them
+    val e2 = intercept[Exception] {
+      df.write.format("graft").mode("overwrite").save(tree)
+    }
+    assert(e2.getMessage.contains("batch TREE"), e2.getMessage)
+    // a marker-only root (stream started, no epoch committed yet) is
+    // equally a tree
+    val marked = java.nio.file.Files.createTempDirectory("graft-tm").toString
+    Lineage.markStreamTree(spark, marked)
+    val e3 = intercept[Exception] {
+      df.write.format("graft").mode("append").save(marked)
+    }
+    assert(e3.getMessage.contains("batch TREE"), e3.getMessage)
+    // the tree is untouched and still reads
+    assert(spark.read.format("graft").load(tree).count() == 200L)
+  }
+
+  test("an all-empty epoch creates no batch dir (and is never READY-marked)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft-ee").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ee-ck").toString
+    val in = MemoryStream[SeqRow]
+    def run(pred: String): Unit = {
+      val q = in.toDS().toDF().where(pred)
+        .writeStream.format("graft")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start(out)
+      q.awaitTermination(120000)
+      ()
+    }
+    in.addData(rowsOf(0): _*)
+    run("n_tok < 0") // filters every row: the epoch is empty
+    assert(Lineage.isStreamTree(spark, out)) // marker still goes down at start
+    assert(Lineage.batchDirs(spark, out).isEmpty,
+      s"empty epoch left dirs: ${Lineage.batchDirs(spark, out)}")
+    assert(Lineage.readyBatchDirs(spark, out).isEmpty)
+    // a later NON-empty epoch lands normally in the same tree (the
+    // filtered-away epoch-0 rows were legitimately consumed: its offset
+    // committed, so only the new rows land)
+    in.addData(rowsOf(1): _*)
+    run("n_tok >= 0")
+    assert(Lineage.readyBatchDirs(spark, out).size == 1)
+    assert(spark.read.format("graft").load(out).count() == 200L)
+  }
+
+  test("untilBatch refuses a tree containing UNNUMBERED batch dirs") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-un").toString
+    val cfg = EncoderConfig(chunkTokens = 1 << 10, numPartitions = 1)
+    Lineage.encodeToDir(spark.createDataset(rowsOf(0)),
+      f"$root/batch=${0}%05d", cfg)
+    // batchDirs qualifies by CONTENT: a manually-placed lineage subdir with
+    // a non-batch name is part of the tree but has no snapshot position
+    Lineage.encodeToDir(spark.createDataset(rowsOf(1)), s"$root/extra", cfg)
+    // the unpinned read composes both dirs (manual layouts are legitimate)
+    assert(spark.read.format("graft").load(root).count() == 400L)
+    // ... but "as of batch 0" over an unordered dir must fail, not guess
+    val e = intercept[Exception] {
+      spark.read.format("graft").option("untilBatch", "0").load(root).count()
+    }
+    assert(e.getMessage.contains("batch number"), e.getMessage)
+  }
 }
