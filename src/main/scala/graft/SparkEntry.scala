@@ -27,6 +27,7 @@ object SparkEntry {
     "lineage_roundtrip" -> (EngineQueries.lineageRoundtrip _),
     "graft_source" -> (EngineQueries.graftSource _),
     "graft_source_stats" -> (EngineQueries.graftSourceStats _),
+    "graft_source_group" -> (EngineQueries.graftSourceGroup _),
     "graft_source_contains" -> (EngineQueries.graftSourceContains _),
     "dedup_clusters" -> (DedupQueries.dedupClusters _),
     "graft_source_in" -> (EngineQueries.graftSourceIn _),
@@ -110,6 +111,7 @@ object SparkEntry {
     // the materialized corpus — column-pruned source scan in the hard channel
     "graft_source" -> EngineQueries.graftSourceSql,
     "graft_source_stats" -> EngineQueries.graftSourceStatsSql,
+    "graft_source_group" -> EngineQueries.graftSourceGroupSql,
     "graft_source_contains" -> EngineQueries.graftSourceContainsSql,
     "dedup_clusters" -> DedupQueries.dedupClustersSql,
     "graft_source_in" -> EngineQueries.graftSourceInSql,

@@ -92,7 +92,8 @@ object ChunkBuilder {
       min_doc_id = minDoc, max_doc_id = maxDoc,
       min_tok = minTok, max_tok = maxTok,
       tok_set = TokenSketch.build(tokens, minTok, maxTok),
-      payload = payload, meta = meta)
+      payload = payload, meta = meta,
+      src_stats = SrcStats.encode(sources, rowLens))
   }
 
   /** Inverse of build. Throws Corrupt/Truncated exceptions on bad framing —

@@ -33,7 +33,11 @@ object Lineage {
       part_id: Int, seq: Int, chunk_id: Long, codec: Int, n_rows: Int,
       n_tokens: Long, raw_bytes: Long, enc_bytes: Long, crc32: Long,
       offset: Long, length: Long, min_doc_id: String, max_doc_id: String,
-      min_tok: Int, max_tok: Int, tok_set: Array[Byte])
+      min_tok: Int, max_tok: Int, tok_set: Array[Byte],
+      // SrcStats blob: per-source (rows, tokens) of this chunk, for
+      // manifest-only GROUP BY source. Empty on pre-upgrade manifests —
+      // readers fall back to a meta read for such chunks (fail open)
+      src_stats: Array[Byte] = Array.emptyByteArray)
 
   private def pn(pid: Int): String = f"part-$pid%05d"
 
@@ -105,7 +109,7 @@ object Lineage {
       rows += ManifestRow(c.part_id, c.seq, c.chunk_id, c.codec, c.n_rows,
         c.n_tokens, c.raw_bytes, c.enc_bytes, c.crc32, offset,
         rec.length.toLong, c.min_doc_id, c.max_doc_id, c.min_tok,
-        c.max_tok, c.tok_set)
+        c.max_tok, c.tok_set, c.src_stats)
       offset += rec.length
     }
 
@@ -280,7 +284,17 @@ object Lineage {
         txt == listingMarker(files)
       }
     } catch { case _: Exception => false }
-    if (current) spark.read.parquet(pq).as[ManifestRow]
+    if (current) {
+      // a parquet manifest compacted by a pre-src_stats engine lacks the
+      // column; surface it as the empty "no stats" blob instead of failing
+      // the typed cast (same back-compat contract as the JSON path)
+      val df = spark.read.parquet(pq)
+      val compat =
+        if (df.columns.contains("src_stats")) df
+        else df.withColumn("src_stats",
+          org.apache.spark.sql.functions.lit(Array.emptyByteArray))
+      compat.as[ManifestRow]
+    }
     else spark.read.textFile(files.map(_.getPath.toString).toIndexedSeq: _*)
       .map(parseManifestLine _)
   }
@@ -647,7 +661,8 @@ object Lineage {
       val meta = java.util.Arrays.copyOfRange(rest, r2.pos, r2.pos + mLen.toInt)
       EncodedChunk(m.chunk_id, m.part_id, m.seq, m.codec, m.n_rows, m.n_tokens,
         m.raw_bytes, m.enc_bytes, m.crc32, m.min_doc_id, m.max_doc_id,
-        m.min_tok, m.max_tok, m.tok_set, Array.emptyByteArray, meta)
+        m.min_tok, m.max_tok, m.tok_set, Array.emptyByteArray, meta,
+        m.src_stats)
     } finally in.close()
   }
 
@@ -690,7 +705,7 @@ object Lineage {
     val meta = java.util.Arrays.copyOfRange(buf, r.pos, r.pos + mLen)
     EncodedChunk(m.chunk_id, m.part_id, m.seq, m.codec, m.n_rows, m.n_tokens,
       m.raw_bytes, m.enc_bytes, m.crc32, m.min_doc_id, m.max_doc_id,
-      m.min_tok, m.max_tok, m.tok_set, payload, meta)
+      m.min_tok, m.max_tok, m.tok_set, payload, meta, m.src_stats)
   }
 
   // ---- tiny JSON (flat schema, no deps) ----------------------------------------
@@ -705,6 +720,7 @@ object Lineage {
     s""""offset":${r.offset},"length":${r.length},""" +
     s""""min_tok":${r.min_tok},"max_tok":${r.max_tok},""" +
     s""""tok_set":"${java.util.Base64.getEncoder.encodeToString(r.tok_set)}",""" +
+    s""""src_stats":"${java.util.Base64.getEncoder.encodeToString(r.src_stats)}",""" +
     s""""min_doc_id":"${esc(r.min_doc_id)}","max_doc_id":"${esc(r.max_doc_id)}"}"""
 
   private def parseManifestLine(line: String): ManifestRow = {
@@ -733,12 +749,17 @@ object Lineage {
     val tokSet = """"tok_set":"([A-Za-z0-9+/=]*)"""".r.findFirstMatchIn(line)
       .map(m => java.util.Base64.getDecoder.decode(m.group(1)))
       .getOrElse(Array.emptyByteArray)
+    // src_stats is base64 too; missing (pre-upgrade manifest) = empty blob,
+    // which SrcStats.decode reads as "no stats" (meta-read fallback)
+    val srcStats = """"src_stats":"([A-Za-z0-9+/=]*)"""".r.findFirstMatchIn(line)
+      .map(m => java.util.Base64.getDecoder.decode(m.group(1)))
+      .getOrElse(Array.emptyByteArray)
     ManifestRow(num("part_id").toInt, num("seq").toInt, num("chunk_id"),
       num("codec").toInt, num("n_rows").toInt, num("n_tokens"),
       num("raw_bytes"), num("enc_bytes"), num("crc32"), num("offset"),
       num("length"), str("min_doc_id"), str("max_doc_id"),
       numOr("min_tok", Int.MinValue).toInt, numOr("max_tok", Int.MaxValue).toInt,
-      tokSet)
+      tokSet, srcStats)
   }
 
   private def writeVarint(bos: java.io.ByteArrayOutputStream, v0: Long): Unit = {

@@ -33,7 +33,10 @@ final case class EncodedChunk(
     max_tok: Int,         //   ("chunks that can contain token T") without decode
     tok_set: Array[Byte], // TokenSketch: exact-or-Bloom containment index
     payload: Array[Byte], // framed TokenCodec output over concatenated tokens
-    meta: Array[Byte])    // framed side columns: row lens, sources, doc_ids
+    meta: Array[Byte],    // framed side columns: row lens, sources, doc_ids
+    // per-source (rows, tokens) for manifest-only GROUP BY source rollups
+    // (SrcStats blob; manifest-side only — never framed into the data file)
+    src_stats: Array[Byte] = Array.emptyByteArray)
 
 /** Encoder knobs. Chunk sizing is the bounded-memory policy (analog of the
   * reference's mem_size arena cap, `Ppmd7.h:17-18`): a chunk's working set is

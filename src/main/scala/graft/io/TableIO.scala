@@ -35,6 +35,10 @@ private[io] object ZoneDefaults {
       out = out.withColumn("max_tok", lit(Int.MaxValue))
     if (!df.columns.contains("tok_set"))
       out = out.withColumn("tok_set", lit(Array.emptyByteArray))
+    // likewise tables written before SrcStats: empty = "no stats", readers
+    // fall back to a meta read (fail open, never wrong)
+    if (!out.columns.contains("src_stats"))
+      out = out.withColumn("src_stats", lit(Array.emptyByteArray))
     out
   }
 }
@@ -123,6 +127,7 @@ object CsvTableIO extends TableIO {
       .withColumn("tok_set", hex(col("tok_set")))
       .withColumn("payload", hex(col("payload")))
       .withColumn("meta", hex(col("meta")))
+      .withColumn("src_stats", hex(col("src_stats")))
       .write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
 
   override def readChunks(spark: SparkSession, path: String): Dataset[EncodedChunk] = {
@@ -132,7 +137,7 @@ object CsvTableIO extends TableIO {
         .schema("chunk_id LONG, part_id INT, seq INT, codec INT, n_rows INT, " +
           "n_tokens LONG, raw_bytes LONG, enc_bytes LONG, crc32 LONG, " +
           "min_doc_id STRING, max_doc_id STRING, min_tok INT, max_tok INT, " +
-          "tok_set STRING, payload STRING, meta STRING")
+          "tok_set STRING, payload STRING, meta STRING, src_stats STRING")
         .csv(path))
       // an EMPTY binary (zero-token chunk's tok_set) rides as an empty CSV
       // field, which the reader surfaces as NULL — restore the empty array;
@@ -143,9 +148,12 @@ object CsvTableIO extends TableIO {
       .withColumn("max_doc_id", coalesce(col("max_doc_id"), typedLit("")))
       .withColumn("payload", unhex(col("payload")))
       .withColumn("meta", unhex(col("meta")))
+      // pre-SrcStats CSVs have no 17th column -> NULL -> empty ("no stats")
+      .withColumn("src_stats", coalesce(unhex(col("src_stats")),
+        typedLit(Array.emptyByteArray)))
       .select("chunk_id", "part_id", "seq", "codec", "n_rows", "n_tokens",
         "raw_bytes", "enc_bytes", "crc32", "min_doc_id", "max_doc_id",
-        "min_tok", "max_tok", "tok_set", "payload", "meta")
+        "min_tok", "max_tok", "tok_set", "payload", "meta", "src_stats")
       .as[EncodedChunk]
   }
 }
@@ -171,21 +179,24 @@ object JsonTableIO extends TableIO {
       .withColumn("tok_set", base64(col("tok_set")))
       .withColumn("payload", base64(col("payload")))
       .withColumn("meta", base64(col("meta")))
+      .withColumn("src_stats", base64(col("src_stats")))
       .write.mode(SaveMode.Overwrite).json(path)
 
   override def readChunks(spark: SparkSession, path: String): Dataset[EncodedChunk] = {
     import spark.implicits._
     val raw = spark.read.json(path)
-    val withSet =
+    var withSet =
       if (raw.columns.contains("tok_set"))
         raw.withColumn("tok_set", unbase64(col("tok_set")))
       else raw
+    if (withSet.columns.contains("src_stats"))
+      withSet = withSet.withColumn("src_stats", unbase64(col("src_stats")))
     ZoneDefaults(withSet)
       .withColumn("payload", unbase64(col("payload")))
       .withColumn("meta", unbase64(col("meta")))
       .select("chunk_id", "part_id", "seq", "codec", "n_rows", "n_tokens",
         "raw_bytes", "enc_bytes", "crc32", "min_doc_id", "max_doc_id",
-        "min_tok", "max_tok", "tok_set", "payload", "meta")
+        "min_tok", "max_tok", "tok_set", "payload", "meta", "src_stats")
       .selectExpr("CAST(chunk_id AS LONG) chunk_id",
         "CAST(part_id AS INT) part_id", "CAST(seq AS INT) seq",
         "CAST(codec AS INT) codec", "CAST(n_rows AS INT) n_rows",
@@ -193,7 +204,7 @@ object JsonTableIO extends TableIO {
         "CAST(enc_bytes AS LONG) enc_bytes", "CAST(crc32 AS LONG) crc32",
         "min_doc_id", "max_doc_id",
         "CAST(min_tok AS INT) min_tok", "CAST(max_tok AS INT) max_tok",
-        "tok_set", "payload", "meta")
+        "tok_set", "payload", "meta", "src_stats")
       .as[EncodedChunk]
   }
 }

@@ -24,6 +24,9 @@ object EngineQueries {
     val crc = new java.util.zip.CRC32
     crc.update(c.payload)
     crc.update(c.meta)
+    // manifest-side stats participate too: a SrcStats format change must
+    // rotate the scratch dir, not resume a stats-less prior manifest
+    crc.update(c.src_stats)
     java.lang.Long.toHexString(crc.getValue)
   }
 
@@ -380,6 +383,24 @@ object EngineQueries {
         |  max(doc_id) AS max_doc_id, sum(n_tok) AS n_tokens
         |FROM graft_stats_t""".stripMargin)
   }
+
+  /** The r6 MANIFEST-ONLY GROUPED aggregate through the hard channel:
+    * `GROUP BY source` count/sum answers from the manifest's per-chunk
+    * SrcStats blobs — zero chunk opens AND zero meta reads
+    * (GraftPushdownSpec pins the plan + fallback counter; here DuckDB
+    * pins the VALUES against the same corpus). spark.sql so count(*)
+    * reaches the source as CountStar. */
+  def graftSourceGroup(s: SparkSession, dir: String): DataFrame = {
+    scratchGraftTable(s, dir).createOrReplaceTempView("graft_group_t")
+    s.sql(
+      """SELECT source, count(*) AS n_rows, sum(n_tok) AS n_tokens
+        |FROM graft_group_t GROUP BY source ORDER BY source""".stripMargin)
+  }
+
+  val graftSourceGroupSql: String =
+    """SELECT source, count(*) AS n_rows, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+      |FROM read_parquet('/root/repo/data/oracle/corpus_n5000.parquet/*.parquet')
+      |GROUP BY source ORDER BY source""".stripMargin
 
   /** Token-containment pruning through the hard channel: an
     * `array_contains(tokens, v)` filter over the DSv2 source (folded into

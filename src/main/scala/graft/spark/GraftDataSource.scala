@@ -107,6 +107,7 @@ class GraftScanBuilder(path: String, options: CaseInsensitiveStringMap)
   private var required: StructType = GraftTable.Schema
   private var limit: Option[Int] = None
   private var aggCols: Option[Seq[GraftAggCol]] = None
+  private var aggGrouped: Boolean = false
   // out-of-band containment predicate: "only rows whose tokens contain v"
   // (exact — the reader filters rows, the planner prunes chunks)
   private val probes: Array[Int] =
@@ -160,41 +161,55 @@ class GraftScanBuilder(path: String, options: CaseInsensitiveStringMap)
     if (probes.isEmpty && pushed.isEmpty) { limit = Some(n); true } else false
   override def isPartiallyPushed: Boolean = true
 
-  /** Translate an Aggregation into manifest-only answers, or None. Only a
-    * global (no grouping) aggregate over count/min-doc/max-doc/sum-n_tok is
-    * answerable from chunk framing alone; anything else falls back to the
-    * normal scan. A containment probe blocks pushdown (the manifest counts
-    * rows the probe would drop). */
-  private def translate(agg: Aggregation): Option[Seq[GraftAggCol]] = {
-    if (agg.groupByExpressions.nonEmpty || probes.nonEmpty || pushed.nonEmpty)
-      return None
+  /** Translate an Aggregation into manifest-only answers, or None.
+    * GLOBAL aggregates over count/min-doc/max-doc/sum-n_tok come from
+    * chunk framing alone; `GROUP BY source` aggregates over count/sum-n_tok
+    * come from the manifest's per-chunk SrcStats blobs (min/max doc_id per
+    * SOURCE is not recorded — chunk zone maps are chunk-global — so those
+    * fall back to the normal scan). Anything else falls back too. A
+    * containment probe blocks pushdown (the manifest counts rows the probe
+    * would drop). Returns (groupedBySource, agg columns). */
+  private def translate(agg: Aggregation): Option[(Boolean, Seq[GraftAggCol])] = {
+    if (probes.nonEmpty || pushed.nonEmpty) return None
     def col1(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
         case nr: NamedReference if nr.fieldNames.length == 1 =>
           Some(nr.fieldNames()(0))
         case _ => None
       }
+    val grouped = agg.groupByExpressions.toSeq match {
+      case Seq() => false
+      case Seq(g) if col1(g).contains("source") => true
+      case _ => return None
+    }
     val cols = agg.aggregateExpressions.map {
       case _: CountStar => Some(AggCountRows)
       case c: Count if !c.isDistinct &&
           col1(c.column).exists(GraftTable.Schema.fieldNames.contains) =>
         Some(AggCountRows) // every graft column is non-null
-      case m: Min if col1(m.column).contains("doc_id") => Some(AggMinDocId)
-      case m: Max if col1(m.column).contains("doc_id") => Some(AggMaxDocId)
+      case m: Min if !grouped && col1(m.column).contains("doc_id") =>
+        Some(AggMinDocId)
+      case m: Max if !grouped && col1(m.column).contains("doc_id") =>
+        Some(AggMaxDocId)
       case s: Sum if !s.isDistinct && col1(s.column).contains("n_tok") =>
         Some(AggSumNTok)
       case _ => None
     }
-    if (cols.forall(_.isDefined)) Some(cols.flatten.toSeq) else None
+    if (cols.forall(_.isDefined)) Some((grouped, cols.flatten.toSeq)) else None
   }
   override def supportCompletePushDown(agg: Aggregation): Boolean =
     translate(agg).isDefined
   override def pushAggregation(agg: Aggregation): Boolean = {
-    aggCols = translate(agg)
-    aggCols.isDefined
+    translate(agg) match {
+      case Some((grouped, cols)) =>
+        aggCols = Some(cols); aggGrouped = grouped; true
+      case None => false
+    }
   }
 
   override def build(): Scan = aggCols match {
+    case Some(cols) if aggGrouped =>
+      new GraftSourceAggScan(path, cols, untilBatch)
     case Some(cols) => new GraftAggScan(path, cols, untilBatch)
     case None =>
       new GraftScan(path, pushed, required, probes, limit, maxBatchesPerTrigger, untilBatch)
@@ -581,6 +596,125 @@ class GraftAggScan(path: String, cols: Seq[GraftAggCol],
       override def createReader(p: InputPartition): PartitionReader[InternalRow] =
         new GraftAggRowReader(p.asInstanceOf[GraftAggPartition])
     }
+}
+
+/** A completely-pushed `GROUP BY source` aggregate: answered from the
+  * manifest's per-chunk SrcStats blobs — one Spark job over manifest rows,
+  * ZERO chunk opens and (for current-format manifests) zero meta reads.
+  * A per-source rollup over 100 TB reads the manifests the planner was
+  * going to read anyway; the reference analog is answering from framing,
+  * not data (`tests/test_ppmd7.py:95-146`). Chunks written before SrcStats
+  * existed fall back to a per-chunk META read (2 small range reads, no
+  * payload, no dict) inside the same distributed job — mixed-era dirs stay
+  * exactly correct, and the fallback count is observable
+  * (`lastMetaFallbackChunks`). */
+class GraftSourceAggScan(path: String, cols: Seq[GraftAggCol],
+                         untilBatch: Option[Long] = None)
+    extends Scan with Batch {
+  // spec observability: how many chunks lacked SrcStats and paid a meta
+  // read during the last planning pass (-1 = not planned yet)
+  @volatile private[spark] var lastMetaFallbackChunks: Int = -1
+  override def toBatch: Batch = this
+  // complete pushdown contract: group columns FIRST, then agg columns
+  override def readSchema(): StructType = StructType(
+    StructField("source", StringType, nullable = false) +: cols.map {
+      case AggCountRows => StructField("count", LongType, nullable = false)
+      case AggSumNTok   => StructField("sum_n_tok", LongType, nullable = true)
+      case other => throw new IllegalStateException(
+        s"$other is not a grouped manifest aggregate") // translate() bars it
+    })
+  override def description(): String =
+    s"graft:$path manifest-only grouped aggregate GROUP BY source " +
+      s"[${cols.mkString(", ")}]" +
+      untilBatch.fold("")(n => s" untilBatch=$n")
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = SparkSession.active
+    val dirs = GraftPlanning.resolveReadDirs(spark, path, untilBatch)
+    val groups: Array[(String, Long, Long)] =
+      if (dirs.isEmpty) Array.empty // GROUP BY over an empty tree: no rows
+      else {
+        import spark.implicits._
+        import org.apache.spark.sql.functions._
+        val hconf = new SerializableConfiguration(
+          spark.sparkContext.hadoopConfiguration)
+        val fallback = spark.sparkContext.longAccumulator(
+          "graft_srcstats_meta_fallback_chunks")
+        val mf = dirs.map(d => Lineage.readManifest(spark, d).map(m => (d, m)))
+          .reduce(_ union _)
+        // one (source, rows, tokens) triple per (chunk, source): tiny rows,
+        // partial-aggregated map-side by the groupBy below
+        val per = mf.mapPartitions { it =>
+          it.flatMap { case (dir, m) =>
+            graft.engine.SrcStats.decode(m.src_stats) match {
+              case Some(stats) => stats.iterator
+              case None =>
+                // pre-upgrade chunk: meta-only read (payload never leaves
+                // disk), aggregated chunk-locally before emitting
+                fallback.add(1L)
+                val agg = new java.util.TreeMap[String, Array[Long]]()
+                ChunkBuilder.openMeta(
+                  Lineage.readChunkMeta(hconf.value, dir, m)).foreach {
+                  case (src, len) =>
+                    var e = agg.get(src)
+                    if (e == null) { e = new Array[Long](2); agg.put(src, e) }
+                    e(0) += 1L; e(1) += len.toLong
+                }
+                import scala.jdk.CollectionConverters._
+                agg.entrySet().iterator().asScala.map(e =>
+                  (e.getKey, e.getValue()(0), e.getValue()(1)))
+            }
+          }
+        }.toDF("source", "rows", "tokens")
+        val capStr = spark.conf.get("graft.agg.maxGroups", "1000000")
+        val cap = capStr.toIntOption.filter(_ > 0).getOrElse(
+          throw new IllegalArgumentException(
+            s"graft.agg.maxGroups must be a positive group count, got '$capStr'"))
+        val out = per.groupBy(col("source"))
+          .agg(sum(col("rows")).as("rows"), sum(col("tokens")).as("tokens"))
+          .limit(cap + 1)
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        if (out.length > cap) throw new IllegalStateException(
+          s"GROUP BY source pushdown over $path exceeds $cap groups; " +
+            "raise graft.agg.maxGroups or disable pushdown for this query")
+        lastMetaFallbackChunks = fallback.value.toInt
+        out
+      }
+    if (dirs.isEmpty) lastMetaFallbackChunks = 0
+    Array(GraftSourceAggPartition(groups, cols.map {
+      case AggCountRows => 0; case AggSumNTok => 1
+      case other => throw new IllegalStateException(s"$other not grouped")
+    }.toArray))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new GraftSourceAggRowReader(p.asInstanceOf[GraftSourceAggPartition])
+    }
+}
+
+/** `sel(i)` maps output agg column i to 0 = row count, 1 = token sum. */
+case class GraftSourceAggPartition(groups: Array[(String, Long, Long)],
+                                   sel: Array[Int]) extends InputPartition
+
+class GraftSourceAggRowReader(p: GraftSourceAggPartition)
+    extends PartitionReader[InternalRow] {
+  private var i = -1
+  override def next(): Boolean = { i += 1; i < p.groups.length }
+  override def get(): InternalRow = {
+    val (src, rows, toks) = p.groups(i)
+    val out = new GenericInternalRow(1 + p.sel.length)
+    out.update(0, UTF8String.fromString(src))
+    var j = 0
+    while (j < p.sel.length) {
+      out.setLong(1 + j, if (p.sel(j) == 0) rows else toks)
+      j += 1
+    }
+    out
+  }
+  override def close(): Unit = ()
 }
 
 case class GraftAggPartition(values: Array[AnyRef]) extends InputPartition

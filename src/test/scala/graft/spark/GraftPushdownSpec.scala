@@ -62,8 +62,8 @@ class GraftPushdownSpec extends AnyFunSuite {
     assert(r.getLong(0) == 1500L && r.getLong(1) == 1500L)
     assert(r.getString(2) == "doc-00000000" && r.getString(3) == "doc-00001499")
     assert(r.getLong(4) == 1500L * 12)
-    // grouped/filtered aggregates are NOT manifest-answerable -> normal scan,
-    // same numbers as the parquet-free ground truth
+    // GROUP BY source is manifest-answerable too (dedicated test below);
+    // the numbers agree with the ground truth either way
     val g = spark.sql(
       "SELECT source, count(*) c FROM graft_push_t GROUP BY source")
       .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
@@ -82,6 +82,87 @@ class GraftPushdownSpec extends AnyFunSuite {
       "SELECT count(*), min(doc_id), max(doc_id), sum(n_tok) FROM graft_empty_t")
       .collect()(0)
     assert(e.getLong(0) == 0L && e.isNullAt(1) && e.isNullAt(2) && e.isNullAt(3))
+  }
+
+  test("GROUP BY source pushes to a manifest-only grouped scan: zero chunk AND zero meta reads") {
+    val df = spark.read.format("graft").load(dir)
+    df.createOrReplaceTempView("graft_push_g")
+    val q = spark.sql(
+      """SELECT source, count(*) AS c, count(doc_id) AS cd,
+        |       sum(n_tok) AS st
+        |FROM graft_push_g GROUP BY source""".stripMargin)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("manifest-only grouped aggregate"),
+      s"grouped aggregate not pushed to the manifest:\n$plan")
+    val got = q.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == Set(("books", 300L, 300L, 3600L),
+      ("web", 1200L, 1200L, 14400L)), s"got $got")
+    // current-format manifests carry SrcStats for every chunk: no chunk
+    // was opened (no GraftScan planned) and no meta section was read
+    val gs = q.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan
+    }.collectFirst { case s: GraftSourceAggScan => s }
+    assert(gs.exists(_.lastMetaFallbackChunks == 0),
+      s"meta fallback count was ${gs.map(_.lastMetaFallbackChunks)}")
+    // per-source min/max(doc_id) is NOT manifest-answerable (zone maps are
+    // chunk-global) -> falls back to the normal scan, same answer
+    val q2 = spark.sql(
+      "SELECT source, min(doc_id) AS mn FROM graft_push_g GROUP BY source")
+    assert(!q2.queryExecution.executedPlan.toString
+      .contains("grouped aggregate"))
+    assert(q2.collect().map(r => r.getString(0) -> r.getString(1)).toMap ==
+      Map("books" -> "doc-00000000", "web" -> "doc-00000001"))
+  }
+
+  test("grouped pushdown falls back to META reads for pre-SrcStats manifests") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    // clone the table dir, then strip the src_stats field from every
+    // manifest line — exactly what a dir written by the previous engine
+    // version looks like
+    val old = Files.createTempDirectory("graft-push-old").toString
+    def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+      Files.walk(src).iterator().asScala.foreach { p =>
+        val t = dst.resolve(src.relativize(p))
+        if (Files.isDirectory(p)) Files.createDirectories(t)
+        else Files.copy(p, t,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    copyTree(Paths.get(dir), Paths.get(old))
+    val lin = Paths.get(old, "_lineage")
+    Files.list(lin).iterator().asScala.toSeq.foreach { p =>
+      val name = p.getFileName.toString
+      if (name.endsWith(".crc")) Files.delete(p) // stale checksum sidecars
+      else if (name.endsWith(".json")) {
+        val txt = new String(Files.readAllBytes(p), "UTF-8")
+        Files.write(p, txt.replaceAll(""""src_stats":"[^"]*",""", "")
+          .getBytes("UTF-8"))
+      }
+    }
+    val q = spark.read.format("graft").load(old)
+      .groupBy("source")
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("c"),
+        org.apache.spark.sql.functions.sum(col("n_tok")).as("st"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("manifest-only grouped aggregate"),
+      s"grouped aggregate not pushed:\n$plan")
+    val got = q.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(("books", 300L, 3600L), ("web", 1200L, 14400L)),
+      s"got $got")
+    // every chunk lacked stats -> every chunk paid one meta read (and the
+    // answer is still exact — fail-open, never wrong)
+    val gs = q.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan
+    }.collectFirst { case s: GraftSourceAggScan => s }
+    val totalChunks = Lineage.readManifest(spark, old).count().toInt
+    assert(gs.exists(_.lastMetaFallbackChunks == totalChunks),
+      s"fallback ${gs.map(_.lastMetaFallbackChunks)} != chunks $totalChunks")
   }
 
   test("limit pushdown plans only the chunks that cover the limit") {
