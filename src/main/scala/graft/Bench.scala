@@ -45,8 +45,28 @@ object Bench {
       // sizes the oracled queries read (idempotent; a fresh checkout pays
       // this once, here, instead of inside the first timed query)
       val n0 = EngineQueries.rowsForDir(sfDir)
-      Seq(math.min(n0, 5000L), math.min(n0, 10000L), math.min(n0, 20000L), n0)
-        .distinct.foreach(n => graft.io.CorpusTable.ensure(spark, n))
+      val ensured = Seq(math.min(n0, 5000L), math.min(n0, 10000L),
+        math.min(n0, 20000L), n0)
+        .distinct.map(n => graft.io.CorpusTable.ensure(spark, n))
+      // cold-page-cache inoculation: raw-read EVERY file the timed queries
+      // will open (sf tables + the materialized corpus), so first-touch
+      // disk I/O lands here. A Spark count() is NOT enough — parquet
+      // count(*) answers from footers without touching data pages, which is
+      // exactly how BENCH_r05's cold window put 3-8x spikes on the
+      // documents-reading family while everything else stayed flat.
+      def touch(dir: String): Unit = try {
+        def walk(f: java.io.File): Unit =
+          if (f.isDirectory) {
+            val fs = f.listFiles(); if (fs != null) fs.foreach(walk)
+          } else {
+            val in = new java.io.FileInputStream(f)
+            val buf = new Array[Byte](1 << 20)
+            try { while (in.read(buf) >= 0) () } finally in.close()
+          }
+        val root = new java.io.File(dir)
+        if (root.exists()) walk(root)
+      } catch { case e: Throwable => System.err.println(s"[bench] warm $dir: $e") }
+      (sfDir +: ensured).foreach(touch)
     }
 
     // headline: encode + decode throughput on the synthetic corpus at the
