@@ -31,6 +31,7 @@ object SparkEntry {
     "graft_source_contains" -> (EngineQueries.graftSourceContains _),
     "dedup_clusters" -> (DedupQueries.dedupClusters _),
     "graft_source_in" -> (EngineQueries.graftSourceIn _),
+    "graft_catalog" -> (EngineQueries.graftCatalog _),
     "encode_expr" -> (EngineQueries.encodeExpr _),
     "token_stats" -> (EngineQueries.tokenStats _),
     "source_distinct_tokens" -> (EngineQueries.sourceDistinctTokens _),
@@ -115,6 +116,9 @@ object SparkEntry {
     "graft_source_contains" -> EngineQueries.graftSourceContainsSql,
     "dedup_clusters" -> DedupQueries.dedupClustersSql,
     "graft_source_in" -> EngineQueries.graftSourceInSql,
+    // named-table path: CREATE TABLE ... USING graft + spark.table — same
+    // manifest-only grouped scan, reached through a catalog NAME
+    "graft_catalog" -> EngineQueries.graftCatalogSql,
     "seq_split" -> PackQueries.seqSplitSql,
     "seq_len_hist" -> PackQueries.seqLenHistSql,
     // packing is a sequential fold (not ANSI-SQL-expressible): pinned by an

@@ -134,7 +134,7 @@ object ChunkBuilder {
     * `docIds` null when withDocIds = false (doc_id section — the dominant
     * meta cost — untouched). Fully validated up front: token total, row
     * count, and every source index. */
-  final case class ChunkColumns(docIds: Array[String], rowLens: Array[Int],
+  final case class ChunkColumns(docIds: StrBytes, rowLens: Array[Int],
                                 srcIdx: Array[Int], srcDict: Array[String],
                                 tokens: Array[Int], nRows: Int)
 
@@ -194,7 +194,7 @@ object ChunkBuilder {
     * when withDocIds = false. */
   private def openSections(c: EncodedChunk, sharedMeta: MetaDict,
                            withDocIds: Boolean)
-      : (Array[Int], Array[Int], Array[String], Array[String]) = {
+      : (Array[Int], Array[Int], Array[String], StrBytes) = {
     val sections = splitSections(c.meta, 4)
     val rowLens = TokenCodec.decodeOrThrow(sections(0))
     val srcIdx = TokenCodec.decodeOrThrow(sections(1))
@@ -207,10 +207,10 @@ object ChunkBuilder {
             Fsst.decodeShared(sharedMeta.fsst, sharedMeta.o1Model,
               sharedMeta.fingerprint, sections(3))
           else Fsst.decode(sections(3))
-        unpackStringsAuto(dBlob)
+        unpackStringBytesAuto(dBlob)
       }
     if (rowLens.length != c.n_rows || srcIdx.length != c.n_rows ||
-        (docIds != null && docIds.length != c.n_rows))
+        (docIds != null && docIds.n != c.n_rows))
       throw CorruptException(s"chunk ${c.chunk_id}: row count mismatch")
     (rowLens, srcIdx, srcDict, docIds)
   }
@@ -270,7 +270,21 @@ object ChunkBuilder {
     bos.toByteArray
   }
 
-  def unpackStringsFront(blob: Array[Byte]): Array[String] = {
+  /** A decoded string column as ONE concatenated UTF-8 buffer plus n+1
+    * offsets — the byte-level form a vectorized reader hands straight to
+    * `putByteArray` (row i is `bytes[offsets(i), offsets(i+1))`) with zero
+    * per-row String or byte[] allocations. `apply` materializes a String
+    * on demand for the row-at-a-time paths. This is the canonical decode
+    * result; the Array[String] unpack functions are thin views over it, so
+    * the byte path and the String path can never diverge. */
+  final case class StrBytes(bytes: Array[Byte], offsets: Array[Int]) {
+    def n: Int = offsets.length - 1
+    def apply(i: Int): String = new String(bytes, offsets(i),
+      offsets(i + 1) - offsets(i), java.nio.charset.StandardCharsets.UTF_8)
+    def toStrings: Array[String] = Array.tabulate(n)(apply)
+  }
+
+  def unpackStringBytesFront(blob: Array[Byte]): StrBytes = {
     val r = new Varint.Reader(blob)
     r.pos = 1 // skip the 0x00 marker
     // ALL bounds in Long arithmetic with allocation caps derived from the
@@ -280,48 +294,78 @@ object ChunkBuilder {
     val nL = r.read()
     if (nL < 0 || nL > blob.length) throw CorruptException("front-coded blob count")
     val n = nL.toInt
-    val out = new Array[String](n)
-    var prev = Array.emptyByteArray
+    val offsets = new Array[Int](n + 1)
+    var buf = new Array[Byte](math.max(64, math.min(blob.length * 4L,
+      Int.MaxValue - 8L).toInt))
+    var w = 0        // write cursor into buf
+    var prevOff = 0  // previous row's region in buf (its prefix source)
+    var prevLen = 0
     var i = 0
     while (i < n) {
       val pL = r.read()
       val sL = r.read()
-      if (pL < 0 || pL > prev.length) throw CorruptException("front prefix")
+      if (pL < 0 || pL > prevLen) throw CorruptException("front prefix")
       if (sL < 0 || sL > blob.length.toLong - r.pos) throw TruncatedException
       val p = pL.toInt
       val s = sL.toInt
-      val b = new Array[Byte](p + s)
-      System.arraycopy(prev, 0, b, 0, p)
-      System.arraycopy(blob, r.pos, b, p, s)
+      if (w.toLong + p + s > buf.length) {
+        val want = math.max(buf.length * 2L, w.toLong + p + s)
+        if (want > Int.MaxValue - 8) throw CorruptException("front-coded blob size")
+        buf = java.util.Arrays.copyOf(buf, want.toInt)
+      }
+      // prefix comes from the previous row's bytes IN buf (regions never
+      // overlap: w >= prevOff + prevLen)
+      System.arraycopy(buf, prevOff, buf, w, p)
+      System.arraycopy(blob, r.pos, buf, w + p, s)
       r.pos += s
-      out(i) = new String(b, java.nio.charset.StandardCharsets.UTF_8)
-      prev = b
+      prevOff = w
+      prevLen = p + s
+      w += prevLen
+      offsets(i + 1) = w
       i += 1
     }
-    out
+    StrBytes(if (buf.length == w) buf else java.util.Arrays.copyOf(buf, w),
+      offsets)
+  }
+
+  def unpackStringBytesFlat(blob: Array[Byte]): StrBytes = {
+    val r = new Varint.Reader(blob)
+    val nL = r.read()
+    if (nL < 0 || nL > blob.length) throw CorruptException("string blob count")
+    val n = nL.toInt
+    val offsets = new Array[Int](n + 1)
+    // flat payload bytes are a subset of the blob — one exact-bound alloc
+    val buf = new Array[Byte](math.max(0, blob.length - r.pos))
+    var w = 0
+    var i = 0
+    while (i < n) {
+      val lenL = r.read()
+      if (lenL < 0 || lenL > blob.length.toLong - r.pos) throw TruncatedException
+      val len = lenL.toInt
+      System.arraycopy(blob, r.pos, buf, w, len)
+      r.pos += len
+      w += len
+      offsets(i + 1) = w
+      i += 1
+    }
+    StrBytes(if (buf.length == w) buf else java.util.Arrays.copyOf(buf, w),
+      offsets)
   }
 
   /** Dispatch on the blob marker: 0x00 = front-coded, else the legacy flat
     * layout (backward-readable: pre-r4 chunks decode unchanged). */
-  def unpackStringsAuto(blob: Array[Byte]): Array[String] =
-    if (blob.nonEmpty && blob(0) == 0) unpackStringsFront(blob)
-    else unpackStrings(blob)
+  def unpackStringBytesAuto(blob: Array[Byte]): StrBytes =
+    if (blob.nonEmpty && blob(0) == 0) unpackStringBytesFront(blob)
+    else unpackStringBytesFlat(blob)
 
-  def unpackStrings(blob: Array[Byte]): Array[String] = {
-    val r = new Varint.Reader(blob)
-    val n = r.read().toInt
-    if (n < 0) throw CorruptException("string blob count")
-    val out = new Array[String](n)
-    var i = 0
-    while (i < n) {
-      val len = r.read().toInt
-      if (len < 0 || r.pos + len > blob.length) throw TruncatedException
-      out(i) = new String(blob, r.pos, len, java.nio.charset.StandardCharsets.UTF_8)
-      r.pos += len
-      i += 1
-    }
-    out
-  }
+  def unpackStringsFront(blob: Array[Byte]): Array[String] =
+    unpackStringBytesFront(blob).toStrings
+
+  def unpackStringsAuto(blob: Array[Byte]): Array[String] =
+    unpackStringBytesAuto(blob).toStrings
+
+  def unpackStrings(blob: Array[Byte]): Array[String] =
+    unpackStringBytesFlat(blob).toStrings
 
   private def concatSections(secs: Array[Byte]*): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()

@@ -348,7 +348,7 @@ object EngineQueries {
     * a corpus-generation or encoder change in a later build changes the
     * path and re-encodes instead of silently resuming a stale prior
     * version's output. */
-  private def scratchGraftTable(s: SparkSession, dir: String): DataFrame = {
+  private def scratchGraftDir(s: SparkSession, dir: String): String = {
     import s.implicits._
     val n = math.min(rowsForDir(dir), 5000L)
     val ds = graft.io.CorpusTable.table(s, n)
@@ -358,8 +358,11 @@ object EngineQueries {
       s"${sys.props("java.io.tmpdir")}/graft_source_q_n${n}_v${EngineQueries.codeFingerprint}"
     Lineage.encodeToDir(ds, out,
       EncoderConfig(chunkTokens = 1 << 17, numPartitions = 4))
-    s.read.format("graft").load(out)
+    out
   }
+
+  private def scratchGraftTable(s: SparkSession, dir: String): DataFrame =
+    s.read.format("graft").load(scratchGraftDir(s, dir))
 
   def graftSource(s: SparkSession, dir: String): DataFrame = {
     scratchGraftTable(s, dir)
@@ -396,6 +399,34 @@ object EngineQueries {
       """SELECT source, count(*) AS n_rows, sum(n_tok) AS n_tokens
         |FROM graft_group_t GROUP BY source ORDER BY source""".stripMargin)
   }
+
+  /** The r6 CATALOG path through the hard channel: register a
+    * `GraftCatalog`, CREATE an external named table over the scratch
+    * lineage dir, and roll up through `spark.table("name")` — proving a
+    * pipeline consumer needs only the NAME (the ergonomic analog of the
+    * reference being importable as `import pyppmd`, not by file path;
+    * README.rst:30-48). The rollup rides the same manifest-only grouped
+    * scan as `graft_source_group` (GraftCatalogSpec pins the plan shape
+    * behind the name); DuckDB pins the values from the materialized
+    * corpus. The catalog root is fingerprint-keyed like the data scratch,
+    * so code changes rotate both together and re-runs reuse one root. */
+  def graftCatalog(s: SparkSession, dir: String): DataFrame = {
+    val out = scratchGraftDir(s, dir)
+    val root =
+      s"${sys.props("java.io.tmpdir")}/graft_cat_q_v${EngineQueries.codeFingerprint}"
+    s.conf.set("spark.sql.catalog.graftq", classOf[graft.spark.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftq.root", root)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graftq.q")
+    s.sql(s"CREATE TABLE IF NOT EXISTS graftq.q.corpus USING graft LOCATION '$out'")
+    s.sql(
+      """SELECT source, count(*) AS n_rows, sum(n_tok) AS n_tokens,
+        |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+        |FROM graftq.q.corpus GROUP BY source ORDER BY source""".stripMargin)
+  }
+
+  // same rollup, same corpus — the oracle is shared with graft_source
+  // (def, not val: graftSourceSql is declared later in this object)
+  def graftCatalogSql: String = graftSourceSql
 
   val graftSourceGroupSql: String =
     """SELECT source, count(*) AS n_rows, CAST(sum(n_tok) AS BIGINT) AS n_tokens

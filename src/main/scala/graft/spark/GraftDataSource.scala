@@ -1245,9 +1245,12 @@ class GraftColumnarReader(conf: Configuration, p: GraftInputPartition,
     while (c < fieldOrd.length) {
       fieldOrd(c) match {
         case 0 =>
-          val b = cols.docIds(r)
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          vectors(c).putByteArray(i, b, 0, b.length)
+          // byte-level column: the decode already produced one concatenated
+          // UTF-8 buffer + offsets — no String or byte[] per row on the
+          // source's hottest projection
+          val d = cols.docIds
+          vectors(c).putByteArray(i, d.bytes, d.offsets(r),
+            d.offsets(r + 1) - d.offsets(r))
         case 1 =>
           val child = vectors(c).arrayData()
           child.reserve(childOff + len)

@@ -36,19 +36,26 @@ object DriveColumnarAB {
     def rollup(): Unit = {
       g.groupBy("source").agg(sum(col("n_tok").cast("long"))).collect(); ()
     }
+    // doc_id-only projection: the meta-only scan whose per-row cost is
+    // dominated by doc_id materialization. toRdd.count forces every row
+    // through the scan + ColumnarToRow — an agg here would ride the
+    // manifest-only pushdown and never open a chunk
+    def docScan(): Unit = {
+      g.select("doc_id").queryExecution.toRdd.count(); ()
+    }
     // warm both paths, then interleave 3 timed reps each
     Seq("true", "false").foreach { v =>
-      spark.conf.set("graft.read.columnar", v); full(); rollup()
+      spark.conf.set("graft.read.columnar", v); full(); rollup(); docScan()
     }
     val reps = for (_ <- 1 to 3) yield {
       spark.conf.set("graft.read.columnar", "true")
-      val (fc, rc) = (time(full()), time(rollup()))
+      val (fc, rc, dc) = (time(full()), time(rollup()), time(docScan()))
       spark.conf.set("graft.read.columnar", "false")
-      val (fr, rr) = (time(full()), time(rollup()))
-      (fc, rc, fr, rr)
+      val (fr, rr, dr) = (time(full()), time(rollup()), time(docScan()))
+      (fc, rc, dc, fr, rr, dr)
     }
     def mn(xs: Seq[Double]) = xs.min
-    println(f"AB full-decode columnar=${mn(reps.map(_._1))}%.2fs row=${mn(reps.map(_._3))}%.2fs | rollup columnar=${mn(reps.map(_._2))}%.2fs row=${mn(reps.map(_._4))}%.2fs (min of 3, interleaved, $nRows rows)")
+    println(f"AB full-decode columnar=${mn(reps.map(_._1))}%.2fs row=${mn(reps.map(_._4))}%.2fs | rollup columnar=${mn(reps.map(_._2))}%.2fs row=${mn(reps.map(_._5))}%.2fs | doc_id-scan columnar=${mn(reps.map(_._3))}%.2fs row=${mn(reps.map(_._6))}%.2fs (min of 3, interleaved, $nRows rows)")
     // decomposition: engine-path decode (no DSv2), planning-only, and a
     // payload-decode-only pass through the DSv2 reader (tokens w/o strings)
     def engine(): Unit = {
