@@ -246,6 +246,17 @@ class GraftScan(path: String, pushed: Array[Filter], required: StructType,
         case EqualTo("doc_id", v: String) =>
           graft.engine.Utf8Order.lte(m.min_doc_id, v) &&
             graft.engine.Utf8Order.gte(m.max_doc_id, v)
+        // range shapes, zone-tested in the same UTF-8 binary order the
+        // static pushdown path uses (prunedManifest): a range-filtered
+        // dimension prunes chunks at runtime too, not only IN-sets
+        case GreaterThan("doc_id", v: String) =>
+          graft.engine.Utf8Order.gt(m.max_doc_id, v)
+        case GreaterThanOrEqual("doc_id", v: String) =>
+          graft.engine.Utf8Order.gte(m.max_doc_id, v)
+        case LessThan("doc_id", v: String) =>
+          graft.engine.Utf8Order.lt(m.min_doc_id, v)
+        case LessThanOrEqual("doc_id", v: String) =>
+          graft.engine.Utf8Order.lte(m.min_doc_id, v)
         case _ => true
       }
     }
