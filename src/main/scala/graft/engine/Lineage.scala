@@ -304,6 +304,31 @@ object Lineage {
     fs.listStatus(new Path(s"$dir/_lineage"))
       .filter(_.getPath.getName.endsWith(".json"))
 
+  /** Driver-local manifest read for the planning cache: ONE listing, its
+    * currency marker, and — when the listed .json bytes fit `maxBytes` —
+    * the parsed rows, with no Spark job at all. Returns (marker, None)
+    * when the manifest is too big to read driver-side: the caller falls
+    * back to the distributed read (`readManifest`), which is the 100-TB
+    * path. Same parse (`parseManifestLine`), same files, same content as
+    * the distributed JSON path by construction. */
+  def readManifestLocal(conf: org.apache.hadoop.conf.Configuration,
+                        dir: String, maxBytes: Long)
+      : (String, Option[Array[ManifestRow]]) = {
+    val fs = FileSystem.get(new java.net.URI(dir), conf)
+    val files = manifestFiles(fs, dir)
+    val marker = listingMarker(files)
+    if (files.iterator.map(_.getLen).sum > maxBytes) (marker, None)
+    else {
+      val rows = files.sortBy(_.getPath.getName).flatMap { f =>
+        val in = fs.open(f.getPath)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .filter(_.nonEmpty).map(parseManifestLine).toArray
+        finally in.close()
+      }
+      (marker, Some(rows))
+    }
+  }
+
   /** Currency token for the parquet manifest: partition count plus an FNV
     * fingerprint of the sorted (name, byteLen) listing — a same-count
     * re-encode (delete + re-run with another chunking) changes file sizes

@@ -398,6 +398,78 @@ private[spark] object ZonePrune {
   }
 }
 
+/** Driver-side manifest cache, the graft analog of Spark's file-source
+  * FileStatusCache: planning re-reads the same manifest for every query on
+  * a table (a Spark job each — listing + parquet/JSON read + collect,
+  * ~0.3-0.6 s of fixed overhead even for a 30-chunk table). Entries are
+  * validated per lookup against the manifest LISTING marker (name+size
+  * fingerprint — the same currency token the parquet-manifest compaction
+  * uses), so an append, re-encode, or new streaming batch is seen by the
+  * very next query; one listStatus RPC per dir per query is the entire
+  * coherence cost. Bounded two ways: a dir whose listed manifest bytes
+  * exceed `graft.plan.localManifestBytes` is never read driver-side
+  * (planning stays distributed — the 100-TB path), and cached entries are
+  * LRU-evicted past `graft.plan.cacheBytes` of estimated row bytes. */
+private[spark] object ManifestCache {
+  private final class Entry(val marker: String,
+                            val rows: Array[Lineage.ManifestRow],
+                            val bytes: Long) {
+    @volatile var tick: Long = 0L
+  }
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Entry]()
+  private val ticks = new java.util.concurrent.atomic.AtomicLong()
+
+  private def estBytes(rows: Array[Lineage.ManifestRow]): Long =
+    rows.foldLeft(0L)((a, m) => a + 160L + m.min_doc_id.length +
+      m.max_doc_id.length + m.tok_set.length + m.src_stats.length)
+
+  /** Marker-validated rows for one dir; a miss reads driver-locally when
+    * the manifest listing fits `localMax` bytes. None = too big for the
+    * local path — the caller plans distributed. */
+  def rowsFor(spark: SparkSession, dir: String): Option[Array[Lineage.ManifestRow]] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def confBytes(key: String, dflt: Long): Long =
+      spark.conf.get(key, dflt.toString).toLongOption.getOrElse(
+        throw new IllegalArgumentException(s"$key must be a byte count"))
+    val localMax = confBytes("graft.plan.localManifestBytes", 16L << 20)
+    val budget = confBytes("graft.plan.cacheBytes", 256L << 20)
+    if (localMax <= 0) return None
+    // ONE listing serves both the coherence check and the size gate
+    val hit = cache.get(dir)
+    val (marker, read) =
+      if (hit != null) {
+        // cheap path first: marker-only listing; re-read only on mismatch
+        val (mk, _) = Lineage.readManifestLocal(conf, dir, -1L)
+        if (mk == hit.marker) { hit.tick = ticks.incrementAndGet(); return Some(hit.rows) }
+        Lineage.readManifestLocal(conf, dir, localMax)
+      } else Lineage.readManifestLocal(conf, dir, localMax)
+    read match {
+      case None => cache.remove(dir); None // grew past the local gate
+      case Some(rows) =>
+        val e = new Entry(marker, rows, estBytes(rows))
+        if (budget > 0 && e.bytes <= budget / 2) {
+          e.tick = ticks.incrementAndGet()
+          cache.put(dir, e)
+          evictTo(budget)
+        } else cache.remove(dir)
+        Some(rows)
+    }
+  }
+
+  private def evictTo(budget: Long): Unit = synchronized {
+    import scala.jdk.CollectionConverters._
+    var total = cache.values.asScala.iterator.map(_.bytes).sum
+    while (total > budget && !cache.isEmpty) {
+      val lru = cache.entrySet().asScala.minBy(_.getValue.tick)
+      cache.remove(lru.getKey)
+      total -= lru.getValue.bytes
+    }
+  }
+
+  private[spark] def clear(): Unit = cache.clear() // specs
+}
+
 /** One copy of dir-level planning (dir resolution, manifest load, zone-map
   * + sketch pruning, dict pickup) shared by the batch scan, the aggregate
   * scan, and the micro-batch stream. */
@@ -448,16 +520,100 @@ private[spark] object GraftPlanning {
     }
   }
 
+  /** All dirs' manifest rows via the driver-side cache, or None if ANY dir
+    * is past the local-read gate (then the whole plan goes distributed —
+    * mixing the two paths per dir would complicate nothing into little). */
+  def localManifests(spark: SparkSession, dirs: Seq[String])
+      : Option[Seq[(String, Array[Lineage.ManifestRow])]] = {
+    val out = dirs.map(d => d -> ManifestCache.rowsFor(spark, d))
+    if (out.forall(_._2.isDefined)) Some(out.map { case (d, r) => d -> r.get })
+    else None
+  }
+
+  /** One dir's manifest as a Dataset: from the driver cache when small
+    * (no file listing or parquet/JSON scan inside the job), else the
+    * distributed read. The AGGREGATE scans run their pipelines over this,
+    * so the cached and distributed answers share every line of agg code. */
+  def manifestDS(spark: SparkSession,
+                 dir: String): org.apache.spark.sql.Dataset[Lineage.ManifestRow] =
+    ManifestCache.rowsFor(spark, dir) match {
+      case Some(rows) =>
+        spark.createDataset(scala.collection.immutable.ArraySeq.unsafeWrapArray(rows))(
+          org.apache.spark.sql.Encoders.product[Lineage.ManifestRow])
+      case None => Lineage.readManifest(spark, dir)
+    }
+
+  /** Driver-side twin of the distributed zone-map/sketch pruning in
+    * `prunedManifest` — SAME UTF-8 binary string order (Utf8Order is
+    * Spark's UTF8String order), same fail-open sketch semantics.
+    * Equivalence is pinned by ManifestPruneParitySpec: the two paths are
+    * asserted chunk-for-chunk identical over every filter shape. */
+  def admitsAll(pushed: Array[Filter],
+                probes: Array[Int]): Lineage.ManifestRow => Boolean = {
+    import graft.engine.Utf8Order
+    type M = Lineage.ManifestRow
+    val tests: Array[M => Boolean] = pushed.flatMap {
+      case EqualTo("doc_id", v: String) =>
+        Some((m: M) => Utf8Order.gte(m.max_doc_id, v) &&
+          Utf8Order.lte(m.min_doc_id, v))
+      case GreaterThan("doc_id", v: String) =>
+        Some((m: M) => Utf8Order.gt(m.max_doc_id, v))
+      case GreaterThanOrEqual("doc_id", v: String) =>
+        Some((m: M) => Utf8Order.gte(m.max_doc_id, v))
+      case LessThan("doc_id", v: String) =>
+        Some((m: M) => Utf8Order.lt(m.min_doc_id, v))
+      case LessThanOrEqual("doc_id", v: String) =>
+        Some((m: M) => Utf8Order.lte(m.min_doc_id, v))
+      case In("doc_id", vs) =>
+        val sorted = ZonePrune.sortValues(vs.collect { case s: String => s })
+        Some((m: M) =>
+          ZonePrune.anyInRange(sorted, m.min_doc_id, m.max_doc_id))
+      case _ => None
+    } ++ probes.map(v => (m: M) => m.min_tok <= v && m.max_tok >= v &&
+      TokenSketch.mightContain(m.tok_set, m.min_tok, v))
+    m => tests.forall(_(m))
+  }
+
+  private def planCap(spark: SparkSession): Int = {
+    val capStr = spark.conf.get("graft.plan.maxChunks", "2000000")
+    capStr.toIntOption.filter(_ > 0).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft.plan.maxChunks must be a positive chunk count, got '$capStr'"))
+  }
+
   /** ONE Spark job for the whole dir set: the tagged per-dir manifests are
     * unioned, pruned once, collected once — a deep tree otherwise pays one
     * sequential driver-side collect per batch at planning time. The
     * collect is BOUNDED by `graft.plan.maxChunks` (session conf): a
     * pathological tree fails loudly at planning instead of OOMing the
-    * driver building millions of InputPartitions. */
+    * driver building millions of InputPartitions. Small tables skip the
+    * job entirely: the cached/driver-local manifest is pruned in-process
+    * with `admitsAll` (planning drops from ~0.5 s to ~ms — the cost that
+    * dominated every interactive-scale DSv2 query). */
   def prunedManifest(spark: SparkSession, dirs: Seq[String],
                      pushed: Array[Filter],
                      probes: Array[Int]): Array[(String, Lineage.ManifestRow)] = {
     if (dirs.isEmpty) return Array.empty
+    val cap = planCap(spark)
+    localManifests(spark, dirs) match {
+      case Some(local) =>
+        val admit = admitsAll(pushed, probes)
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(String, Lineage.ManifestRow)]
+        local.foreach { case (d, rows) =>
+          rows.foreach { m =>
+            if (admit(m)) {
+              out += ((d, m))
+              if (out.length > cap) throw new IllegalStateException(
+                s"graft planning over ${dirs.size} dir(s) admits more than " +
+                  s"$cap chunks; prune harder (doc_id/containsToken), read " +
+                  "fewer batches, or raise graft.plan.maxChunks")
+            }
+          }
+        }
+        return out.toArray
+      case None => () // distributed path below
+    }
     import spark.implicits._
     var t = dirs.map(d => Lineage.readManifest(spark, d).map(m => (d, m)))
       .reduce(_ union _)
@@ -488,10 +644,6 @@ private[spark] object GraftPlanning {
       t = t.filter(col("_2.min_tok") <= v && col("_2.max_tok") >= v)
         .filter(e => TokenSketch.mightContain(e._2.tok_set, e._2.min_tok, v))
     }
-    val capStr = spark.conf.get("graft.plan.maxChunks", "2000000")
-    val cap = capStr.toIntOption.filter(_ > 0).getOrElse(
-      throw new IllegalArgumentException(
-        s"graft.plan.maxChunks must be a positive chunk count, got '$capStr'"))
     val rows = t.limit(cap + 1).collect()
     if (rows.length > cap) throw new IllegalStateException(
       s"graft planning over ${dirs.size} dir(s) admits more than $cap " +
@@ -583,7 +735,8 @@ class GraftAggScan(path: String, cols: Seq[GraftAggCol],
       }.toArray
       else {
         import org.apache.spark.sql.functions._
-        val mf = dirs.map(d => Lineage.readManifest(spark, d)).reduce(_ union _)
+        val mf = dirs.map(d => GraftPlanning.manifestDS(spark, d))
+          .reduce(_ union _)
         val r = mf.agg(
           coalesce(sum(col("n_rows").cast("long")), lit(0L)).as("c"),
           min(col("min_doc_id")).as("mn"), max(col("max_doc_id")).as("mx"),
@@ -651,7 +804,7 @@ class GraftSourceAggScan(path: String, cols: Seq[GraftAggCol],
           spark.sparkContext.hadoopConfiguration)
         val fallback = spark.sparkContext.longAccumulator(
           "graft_srcstats_meta_fallback_chunks")
-        val mf = dirs.map(d => Lineage.readManifest(spark, d).map(m => (d, m)))
+        val mf = dirs.map(d => GraftPlanning.manifestDS(spark, d).map(m => (d, m)))
           .reduce(_ union _)
         // one (source, rows, tokens) triple per (chunk, source): tiny rows,
         // partial-aggregated map-side by the groupBy below
@@ -1157,17 +1310,32 @@ class GraftDataWriter(dir: String, conf: Configuration, pid: Int,
   * (length, CRC32) of the serialized dict; executors hold a handful of
   * dicts for their lifetime. */
 private[spark] object MetaDictCache {
+  // a long-lived executor serving MANY table dirs accumulates entries;
+  // dicts are small (KBs) but unbounded growth is unbounded. True LRU
+  // (access-ordered LinkedHashMap) instead of a wholesale clear(): past
+  // the cap only the coldest dict is rebuilt, where a clear() made every
+  // live table's next task pay a rebuild at once. Synchronized access is
+  // per-CHUNK (not per-row) — contention is not a factor here.
+  private val MaxEntries = 256
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, MetaDict]()
+    new java.util.LinkedHashMap[String, MetaDict](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, MetaDict]): Boolean =
+        size() > MaxEntries
+    }
   def get(bytes: Array[Byte]): MetaDict = {
     val crc = new java.util.zip.CRC32
     crc.update(bytes)
-    // a long-lived executor serving MANY table dirs accumulates entries;
-    // dicts are small (KBs) but unbounded growth is unbounded — reset
-    // wholesale past a generous cap (refill costs one rebuild per dict)
-    if (cache.size > 256) cache.clear()
-    cache.computeIfAbsent(s"${bytes.length}:${crc.getValue}",
-      _ => MetaDict.fromBytes(bytes))
+    val key = s"${bytes.length}:${crc.getValue}"
+    cache.synchronized {
+      val hit = cache.get(key)
+      if (hit != null) return hit
+    }
+    // build OUTSIDE the lock (tens of ms): two racing tasks may both
+    // build, last put wins — identical value either way
+    val d = MetaDict.fromBytes(bytes)
+    cache.synchronized { cache.put(key, d) }
+    d
   }
 }
 
