@@ -272,6 +272,10 @@ object Lineage {
     import spark.implicits._
     val fs = FileSystem.get(new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
     val files = manifestFiles(fs, dir)
+    // a just-initialized table (catalog CREATE before first INSERT) has a
+    // _lineage dir and zero manifest partitions; textFile() with an empty
+    // path list would throw, so short-circuit the empty manifest
+    if (files.isEmpty) return spark.emptyDataset[ManifestRow]
     val markerFile = new Path(s"$dir/_manifest_parquet.count")
     val pq = s"$dir/_manifest_parquet"
     // ANY problem with the marker (absent, mid-write, garbled, count or

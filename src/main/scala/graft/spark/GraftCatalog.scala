@@ -100,6 +100,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     }
     b.toString
   }
+  // Concurrency note: the rename makes pointer CONTENT atomic (a reader
+  // sees old-or-new, never torn), but two drivers racing CREATE on the
+  // same name both pass the existence check and last-write wins — the
+  // inherent filesystem-catalog caveat (HadoopCatalog-style); a metastore
+  // with conditional puts is the fix at multi-driver scale, not a local FS.
   private def writePointer(f: java.io.File, location: String,
                            external: Boolean): Unit = {
     val tmp = new java.io.File(f.getParentFile, s".${f.getName}.tmp")
@@ -183,6 +188,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (f.isFile) throw new TableAlreadyExistsException(ident)
     val external = Option(properties.get(TableCatalog.PROP_LOCATION))
     val loc = external.getOrElse(managedDir(ident).getAbsolutePath)
+    // a MANAGED table is readable the moment it exists: initialize an
+    // empty lineage table (zero manifest partitions = zero rows) so
+    // `SELECT ... FROM t` between CREATE and the first INSERT returns the
+    // empty result instead of "holds neither a lineage table nor batch=N".
+    // External locations are left untouched — the data there is not ours
+    // to shape, and a wrong LOCATION should stay loud.
+    if (external.isEmpty) {
+      val lin = new java.io.File(loc, "_lineage")
+      if (!lin.isDirectory && !lin.mkdirs() && !lin.isDirectory)
+        throw new IllegalStateException(
+          s"cannot initialize managed graft table dir $loc")
+    }
     writePointer(f, loc, external.isDefined)
     new GraftNamedTable(fullName(ident), loc, None)
   }

@@ -1177,10 +1177,23 @@ class GraftStreamingWrite(path: String, inputSchema: StructType,
     locally {
       val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
         spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/_lineage")))
-        throw new IllegalArgumentException(
+      val lin = new org.apache.hadoop.fs.Path(s"$path/_lineage")
+      if (fs.exists(lin)) {
+        // ONE exception: a catalog CREATE of a managed table initializes
+        // an EMPTY _lineage (zero manifests, zero data anywhere) so batch
+        // SELECT works pre-INSERT. writeStream.toTable on that table is a
+        // legitimate first write — convert the empty placeholder into a
+        // stream tree. Anything non-empty keeps the loud refusal: batch
+        // reads resolve _lineage FIRST and would silently hide batch=N.
+        val linEmpty = fs.listStatus(lin).isEmpty
+        val rootOnlyLineage = fs.listStatus(
+          new org.apache.hadoop.fs.Path(path))
+          .forall(_.getPath.getName == "_lineage")
+        if (linEmpty && rootOnlyLineage) fs.delete(lin, true)
+        else throw new IllegalArgumentException(
           s"$path is a plain lineage table (batch save/encodeToDir output) " +
             "— the streaming sink writes batch TREES; use a fresh root")
+      }
     }
     // the tree-level marker goes down at STREAM START, before any batch
     // dir exists: batch readers of this tree apply READY-marker visibility

@@ -99,6 +99,27 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(!dataDirF.exists(), "managed DROP must delete the data dir")
   }
 
+  test("a freshly created managed table is readable (empty) before the first INSERT") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.fresh")
+    spark.sql(
+      """CREATE TABLE gcat.fresh.t (doc_id STRING, tokens ARRAY<INT>,
+        |n_tok INT, source STRING) USING graft""".stripMargin)
+    // SELECT between CREATE and first INSERT: the empty result, not an error
+    assert(spark.table("gcat.fresh.t").count() == 0L)
+    assert(spark.sql("SELECT count(*), sum(n_tok) FROM gcat.fresh.t")
+      .collect()(0).getLong(0) == 0L)
+    // and the first INSERT lands normally
+    val src = (0 until 7).map(i =>
+      SeqRow(f"f-$i%04d", Array(1, 2), 2, "fresh"))
+    spark.createDataset(src).createOrReplaceTempView("fresh_src")
+    spark.sql(
+      """INSERT INTO gcat.fresh.t
+        |SELECT doc_id, tokens, n_tok, source FROM fresh_src""".stripMargin)
+    assert(spark.table("gcat.fresh.t").count() == 7L)
+    spark.sql("DROP TABLE gcat.fresh.t")
+  }
+
   test("RENAME moves managed data with the name; external rename is pointer-only") {
     import spark.implicits._
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ren")
@@ -152,6 +173,66 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(new java.io.File(dataDir).isDirectory)
     spark.sql(s"CREATE TABLE gcat.corpora.resurvey USING graft LOCATION '$dataDir'")
     assert(spark.table("gcat.corpora.resurvey").count() == 900L)
+  }
+
+  test("readStream.table: incremental consumption through the catalog name") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-cat-ss").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cat-ss-ck").toString
+    Lineage.markStreamTree(spark, root)
+    def writeBatch(b: Int): Unit = {
+      val d = f"$root/batch=$b%05d"
+      Lineage.encodeToDir(spark.createDataset((0 until 50).map(i =>
+        SeqRow(f"s-$b%02d-$i%04d", Array(b, i), 2, "s"))), d,
+        EncoderConfig(chunkTokens = 1 << 10, numPartitions = 1))
+      Lineage.markBatchReady(spark, d)
+    }
+    writeBatch(0); writeBatch(1)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.stream")
+    spark.sql(s"CREATE TABLE gcat.stream.t USING graft LOCATION '$root'")
+    val got = scala.collection.mutable.Set.empty[String]
+    val q = spark.readStream.table("gcat.stream.t")
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= df.collect().map(_.getString(0)); ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(got.size == 100, s"stream-by-name saw ${got.size} rows")
+  }
+
+  test("writeStream.toTable on a never-written managed table converts it to a stream tree") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.ssink")
+    spark.sql(
+      """CREATE TABLE gcat.ssink.t (doc_id STRING, tokens ARRAY<INT>,
+        |n_tok INT, source STRING) USING graft""".stripMargin)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cat-sw-ck").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[SeqRow]
+    in.addData((0 until 30).map(i => SeqRow(f"w-$i%04d", Array(i), 1, "s")))
+    val q = in.toDS().toDF("doc_id", "tokens", "n_tok", "source")
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable("gcat.ssink.t")
+    q.awaitTermination(120000)
+    // the managed placeholder became a batch tree; batch SELECT sees epochs
+    assert(spark.table("gcat.ssink.t").count() == 30L)
+    // a NON-empty plain table still refuses the streaming sink loudly
+    val in2 = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[SeqRow]
+    in2.addData(SeqRow("x", Array(1), 1, "s"))
+    val q2 = in2.toDS().toDF("doc_id", "tokens", "n_tok", "source")
+      .writeStream.option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-cat-sw-ck2").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("graft").option("path", dataDir).start()
+    val e = intercept[Exception](q2.awaitTermination(120000))
+    assert(e.getMessage.contains("plain lineage table") ||
+      Option(e.getCause).exists(_.getMessage.contains("plain lineage table")),
+      s"${e.getMessage}")
   }
 
   test("VERSION AS OF maps to untilBatch over a batch tree; plain tables refuse it") {
