@@ -32,6 +32,7 @@ object SparkEntry {
     "dedup_clusters" -> (DedupQueries.dedupClusters _),
     "graft_source_in" -> (EngineQueries.graftSourceIn _),
     "graft_catalog" -> (EngineQueries.graftCatalog _),
+    "graft_spj" -> (EngineQueries.graftSpj _),
     "encode_expr" -> (EngineQueries.encodeExpr _),
     "token_stats" -> (EngineQueries.tokenStats _),
     "source_distinct_tokens" -> (EngineQueries.sourceDistinctTokens _),
@@ -119,6 +120,10 @@ object SparkEntry {
     // named-table path: CREATE TABLE ... USING graft + spark.table — same
     // manifest-only grouped scan, reached through a catalog NAME
     "graft_catalog" -> EngineQueries.graftCatalogSql,
+    // storage-partitioned join: shuffle-free same-bucketing join, values
+    // recomputed by a DuckDB self-join over the same corpus (the query
+    // itself asserts the zero-join-exchange plan in-line)
+    "graft_spj" -> EngineQueries.graftSpjSql,
     "seq_split" -> PackQueries.seqSplitSql,
     "seq_len_hist" -> PackQueries.seqLenHistSql,
     // packing is a sequential fold (not ANSI-SQL-expressible): pinned by an

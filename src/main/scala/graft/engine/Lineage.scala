@@ -67,6 +67,18 @@ object Lineage {
     // storage layer, without any cross-task coupling.
     val cfgEnc = cfg.copy(sharedMetaDict = Some(sharedDictFor(ds, fs0, dir)))
 
+    // bucket-layout marker: a FRESH table's layout is exactly
+    // pmod(murmur3_42(doc_id), numPartitions) by construction (arrange's
+    // deterministic repartition below). On a table with committed
+    // partitions the marker survives only when this run's arrangement
+    // matches it — a re-run with a different count would otherwise keep
+    // advertising a bucketing the files no longer have.
+    val hasCommitted = fs0.listStatus(new Path(s"$dir/_lineage"))
+      .exists(_.getPath.getName.endsWith(".json"))
+    if (!hasCommitted) writeBucketMarker(fs0, dir, cfg.numPartitions)
+    else if (!readBucketMarker(fs0, dir).contains(cfg.numPartitions))
+      clearBucketMarker(fs0, dir)
+
     val arranged = Encoder.arrange(ds, cfgEnc) // deterministic across runs
 
     val done = spark.sparkContext.longAccumulator("partitions_encoded")
@@ -347,6 +359,44 @@ object Lineage {
         h = (h ^ len) * 1099511628211L
     }
     s"${files.length} ${java.lang.Long.toHexString(h)}"
+  }
+
+  // ---- bucket-layout marker ------------------------------------------------
+  /** `_graft_buckets` holds n iff every committed part file contains exactly
+    * the rows Spark's hash clustering assigns it: part_id % n ==
+    * pmod(murmur3_42(doc_id), n) for every row. Written only by writers that
+    * PRODUCED that layout (encodeToDir's deterministic repartition; the DSv2
+    * sink under `option("arrange", n)`), deleted by any write that breaks it
+    * (unarranged appends, mismatched partition counts). The marker is what
+    * lets the DSv2 scan report KeyGroupedPartitioning for storage-partitioned
+    * (shuffle-free) joins — a WRONG marker makes such a join silently drop
+    * matches, so every writer errs toward deletion, and an unreadable or
+    * mid-write marker reads as None (no SPJ, never a wrong one). */
+  private def bucketMarkerPath(dir: String) = new Path(s"$dir/_graft_buckets")
+
+  def writeBucketMarker(fs: FileSystem, dir: String, n: Int): Unit = {
+    require(n > 0, s"bucket count must be positive, got $n")
+    val marker = bucketMarkerPath(dir)
+    val tmp = new Path(s"$dir/_graft_buckets.inprogress")
+    val out = fs.create(tmp, true)
+    out.write(n.toString.getBytes("UTF-8"))
+    out.close()
+    if (fs.exists(marker)) fs.delete(marker, false) // rename won't overwrite
+    if (!fs.rename(tmp, marker))
+      throw new java.io.IOException(s"rename failed: $tmp -> $marker")
+  }
+
+  def readBucketMarker(fs: FileSystem, dir: String): Option[Int] =
+    if (!fs.exists(bucketMarkerPath(dir))) None
+    else {
+      val in = fs.open(bucketMarkerPath(dir))
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      txt.toIntOption.filter(_ > 0)
+    }
+
+  def clearBucketMarker(fs: FileSystem, dir: String): Unit = {
+    fs.delete(bucketMarkerPath(dir), false): Unit
   }
 
   /** Rewrite the committed manifest as parquet (plus a currency marker).

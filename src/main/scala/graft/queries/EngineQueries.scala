@@ -428,6 +428,82 @@ object EngineQueries {
   // (def, not val: graftSourceSql is declared later in this object)
   def graftCatalogSql: String = graftSourceSql
 
+  /** The r6 STORAGE-PARTITIONED JOIN through the hard channel: two graft
+    * tables arranged with the same bucket count (the `_graft_buckets`
+    * layout marker — see Lineage.writeBucketMarker) join on doc_id with
+    * ZERO join-side exchanges, because the scan reports
+    * KeyGroupedPartitioning over the catalog-served `bucket(n, doc_id)`
+    * function (GraftBucketFunction — byte-identical to the hash the writer
+    * laid rows out by). The query REQUIRES the shuffle-free plan in-line
+    * (the one surviving exchange is the GROUP BY's), so a silent SPJ
+    * regression fails the driver run loudly instead of shuffling quietly;
+    * DuckDB pins the VALUES with a self-join over the same corpus. The
+    * reference analog is threaded decode agreeing with one-shot decode
+    * byte-for-byte (`tests/test_ppmd7.py:54-69`): partition-parallel
+    * execution must be invisible to results. */
+  def graftSpj(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n = math.min(rowsForDir(dir), 5000L)
+    val ds = graft.io.CorpusTable.table(s, n)
+      .select(col("doc_id"), col("tokens"), col("n_tok"), col("source"))
+      .as[SeqRow]
+    val N = 8 // shared bucket count: both writers arrange by pmod(h(doc_id), 8)
+    // fingerprint-keyed scratch (resume on re-runs, rotates with the code);
+    // the prefix is NEW in r6, so every dir here was written marker-aware
+    val base =
+      s"${sys.props("java.io.tmpdir")}/graft_spj_q_n${n}_v${EngineQueries.codeFingerprint}"
+    val cfg = EncoderConfig(chunkTokens = 1 << 17, numPartitions = N)
+    Lineage.encodeToDir(ds, s"$base/a", cfg)
+    Lineage.encodeToDir(ds.filter(col("n_tok") % 2 === 0).as[SeqRow],
+      s"$base/b", cfg)
+    // SPJ needs catalog tables: the bucket transform resolves through the
+    // table's FunctionCatalog; path-based relations have none
+    s.conf.set("spark.sql.catalog.graftspj",
+      classOf[graft.spark.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftspj.root", s"$base/cat")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graftspj.q")
+    s.sql(s"CREATE TABLE IF NOT EXISTS graftspj.q.a USING graft LOCATION '$base/a'")
+    s.sql(s"CREATE TABLE IF NOT EXISTS graftspj.q.b USING graft LOCATION '$base/b'")
+    val keys = Seq("graft.read.spj", // SPJ is OPT-IN (caps scan parallelism at
+      // the bucket count in exchange for shuffle-free joins — the Iceberg
+      // preserve-data-grouping trade, and a join is exactly where it wins)
+      "spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "spark.sql.autoBroadcastJoinThreshold", // force a real SMJ, not broadcast
+      "spark.sql.adaptive.enabled") // stable executed-plan text for the pin
+    val old = keys.map(k => k -> s.conf.getOption(k))
+    keys.zip(Seq("true", "true", "true", "-1", "false"))
+      .foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val q = s.sql(
+        """SELECT a.source, count(*) AS n_rows,
+          |  CAST(sum(a.n_tok) + sum(b.n_tok) AS BIGINT) AS n_tok2
+          |FROM graftspj.q.a a JOIN graftspj.q.b b ON a.doc_id = b.doc_id
+          |GROUP BY a.source""".stripMargin)
+      val plan = q.queryExecution.executedPlan.toString
+      val ex = plan.linesIterator.count(_.contains("Exchange"))
+      require(ex == 1,
+        s"storage-partitioned join regressed: expected ONLY the GROUP BY " +
+          s"exchange, found $ex:\n$plan")
+      // collected (few rows: one per source) so the conf restore below can't
+      // retroactively re-plan the result the driver writes out
+      val rows = q.collect().sortBy(_.getString(0)).toSeq
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), q.schema)
+    } finally old.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  val graftSpjSql: String =
+    """SELECT a.source, count(*) AS n_rows,
+      |  CAST(sum(a.n_tok) + sum(b.n_tok) AS BIGINT) AS n_tok2
+      |FROM read_parquet('/root/repo/data/oracle/corpus_n5000.parquet/*.parquet') a
+      |JOIN read_parquet('/root/repo/data/oracle/corpus_n5000.parquet/*.parquet') b
+      |  ON a.doc_id = b.doc_id
+      |WHERE b.n_tok % 2 = 0
+      |GROUP BY a.source ORDER BY a.source""".stripMargin
+
   val graftSourceGroupSql: String =
     """SELECT source, count(*) AS n_rows, CAST(sum(n_tok) AS BIGINT) AS n_tokens
       |FROM read_parquet('/root/repo/data/oracle/corpus_n5000.parquet/*.parquet')

@@ -3,8 +3,9 @@ package graft.spark
 import java.util
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, NonEmptyNamespaceException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{CatalogPlugin, Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchFunctionException, NoSuchNamespaceException, NoSuchTableException, NonEmptyNamespaceException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{CatalogPlugin, FunctionCatalog, Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.functions.UnboundFunction
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.types.StructType
@@ -42,7 +43,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * At 100 TB the catalog is metadata-only: O(1) pointer-file reads per query
   * plan, no data listing — scale lives entirely in the source's manifest
   * planning, which is unchanged. */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with FunctionCatalog {
 
   private var catalogName: String = _
   private var root: java.io.File = _
@@ -246,6 +248,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         }
     }
   }
+
+  // ---- FunctionCatalog ------------------------------------------------------
+  // ONE function: bucket(n, doc_id), the hash identity behind
+  // storage-partitioned joins. V2ScanPartitioningAndOrdering resolves the
+  // scan-reported `bucket(n, doc_id)` transform through the table's catalog,
+  // so serving it here is what lets two arranged graft tables join on doc_id
+  // with zero shuffle (see GraftBucketFunction).
+  override def listFunctions(ns: Array[String]): Array[Identifier] =
+    if (ns.isEmpty) Array(Identifier.of(Array.empty, "bucket"))
+    else if (namespaceExists(ns)) Array.empty
+    else throw new NoSuchNamespaceException(ns)
+
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    if (ident.name().equalsIgnoreCase("bucket")) GraftBucketFunction
+    else throw new NoSuchFunctionException(ident)
 
   private def fullName(ident: Identifier): String =
     (catalogName +: (ident.namespace() :+ ident.name())).mkString(".")

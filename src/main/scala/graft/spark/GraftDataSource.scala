@@ -221,7 +221,7 @@ class GraftScan(path: String, pushed: Array[Filter], required: StructType,
                 maxBatchesPerTrigger: Option[Int],
                 untilBatch: Option[Long] = None)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeFiltering {
+    with SupportsRuntimeFiltering with SupportsReportPartitioning {
 
   // ---- runtime (DPP-style) filtering -------------------------------------
   // a broadcast join against a filtered dimension delivers the dim's
@@ -282,11 +282,66 @@ class GraftScan(path: String, pushed: Array[Filter], required: StructType,
   // ONE (bounded) driver-side planning pass, shared by estimateStatistics
   // (optimization time) and planInputPartitions (physical planning): dirs
   // resolved, manifests unioned and zone-map/sketch pruned in one Spark job
-  private lazy val planned: Array[(String, Lineage.ManifestRow)] = {
+  private lazy val resolvedDirs: Seq[String] =
+    GraftPlanning.resolveReadDirs(SparkSession.active, path, untilBatch)
+  private lazy val planned: Array[(String, Lineage.ManifestRow)] =
+    GraftPlanning.prunedManifest(SparkSession.active, resolvedDirs, pushed,
+      tokenProbes)
+
+  /** Storage-partitioned-join eligibility: Some(n) when EVERY dir this scan
+    * covers carries a valid `_graft_buckets` layout marker with the SAME n
+    * (a marker is written only by writers that produced the
+    * pmod(murmur3_42(doc_id), n) layout — see Lineage.writeBucketMarker) and
+    * the session OPTED IN via `graft.read.spj=true` (plus Spark's own
+    * `spark.sql.sources.v2.bucketing.enabled`, default-on in Spark 4).
+    * Opt-in (default FALSE) is deliberate and mirrors Iceberg's
+    * `preserve-data-grouping`: reporting KeyGroupedPartitioning makes Spark
+    * GROUP same-bucket tasks, capping scan parallelism at the bucket count —
+    * the right trade under a doc_id join (it deletes both shuffles), the
+    * wrong one for a plain scan of a 4-bucket table on a 1000-core cluster.
+    * Under a pushed limit the scan plans a chunk PREFIX, not a
+    * bucket-complete set — no SPJ there. */
+  private lazy val bucketing: Option[Int] = {
     val spark = SparkSession.active
-    val dirs = GraftPlanning.resolveReadDirs(spark, path, untilBatch)
-    GraftPlanning.prunedManifest(spark, dirs, pushed, tokenProbes)
+    val enabled =
+      spark.conf.get("graft.read.spj", "false").toBoolean &&
+      spark.conf.get("spark.sql.sources.v2.bucketing.enabled").toBoolean &&
+      limit.isEmpty && resolvedDirs.nonEmpty
+    if (!enabled) None
+    else {
+      val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+        spark.sparkContext.hadoopConfiguration)
+      val ns = resolvedDirs.map(d => Lineage.readBucketMarker(fs, d))
+      if (ns.forall(_.isDefined) && ns.flatten.distinct.size == 1) ns.head
+      else None
+    }
   }
+
+  /** Report the arranged layout as KeyGroupedPartitioning over
+    * `bucket(n, doc_id)` — the transform the graft catalog's FunctionCatalog
+    * resolves — so Spark plans joins between same-n graft tables WITHOUT
+    * exchanges (and, with v2.bucketing.shuffle.enabled, shuffles a non-graft
+    * side straight into this bucketing). Only catalog-resolved tables get
+    * this far: path-based relations carry no FunctionCatalog, and Spark
+    * drops an unresolvable report harmlessly. */
+  override def outputPartitioning():
+      org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    bucketing match {
+      case Some(n) =>
+        val keys = planned.iterator.map { case (_, m) => m.part_id % n }
+          .toSet
+        if (keys.isEmpty)
+          new org.apache.spark.sql.connector.read.partitioning
+            .UnknownPartitioning(0)
+        else new org.apache.spark.sql.connector.read.partitioning
+          .KeyGroupedPartitioning(
+            Array(org.apache.spark.sql.connector.expressions.Expressions
+              .bucket(n, "doc_id")),
+            keys.size)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .UnknownPartitioning(0)
+    }
   private lazy val dicts: Map[String, Option[Array[Byte]]] =
     GraftPlanning.dictsFor(SparkSession.active,
       planned.iterator.map(_._1).toSet)
@@ -348,7 +403,13 @@ class GraftScan(path: String, pushed: Array[Filter], required: StructType,
       case None => afterRuntime
     }
     lastPlannedChunks = rows.length
-    GraftPlanning.pack(SparkSession.active, rows, dicts, tokenProbes)
+    bucketing match {
+      case Some(n) =>
+        GraftPlanning.packBucketed(SparkSession.active, rows, dicts,
+          tokenProbes, n)
+      case None =>
+        GraftPlanning.pack(SparkSession.active, rows, dicts, tokenProbes)
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -368,6 +429,19 @@ case class GraftInputPartition(dir: String, rows: Array[Lineage.ManifestRow],
                                dict: Option[Array[Byte]],
                                probes: Array[Int] = Array.empty)
     extends InputPartition
+
+/** The same task payload, carrying the bucket identity that makes it
+  * key-groupable: emitted instead of the plain partition when the table's
+  * `_graft_buckets` layout marker is valid and the session has
+  * `spark.sql.sources.v2.bucketing.enabled`. Spark groups same-key
+  * partitions (across batch dirs of a tree too) into one task group, which
+  * is what lets two same-n graft tables join on doc_id with zero shuffle. */
+final case class GraftBucketedInputPartition(p: GraftInputPartition,
+                                             bucket: Int)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](bucket))
+}
 
 /** Zone-map interval tests shared by static and runtime doc_id pruning.
   * ALL comparisons run in UTF-8 BINARY order (graft.engine.Utf8Order) —
@@ -704,6 +778,27 @@ private[spark] object GraftPlanning {
     flush()
     out.toArray
   }
+
+  /** Bucket-aware packing for storage-partitioned joins: chunks pack
+    * normally but never ACROSS buckets (bucket = part_id % n — append runs
+    * land on the same residues by the marker contract), and every task
+    * carries its bucket as a HasPartitionKey. Spark groups same-key tasks —
+    * including the same bucket across a tree's batch dirs — into one
+    * key-grouped partition. Parallelism within a join is then n, the
+    * inherent SPJ trade (exactly Hive/Iceberg bucketed-join semantics);
+    * scans that don't feed an SPJ keep the unconstrained packing. */
+  def packBucketed(spark: SparkSession,
+                   rows: Array[(String, Lineage.ManifestRow)],
+                   dicts: Map[String, Option[Array[Byte]]],
+                   probes: Array[Int], n: Int): Array[InputPartition] =
+    rows.groupBy { case (_, m) => m.part_id % n }
+      .toArray.sortBy(_._1)
+      .flatMap { case (bucket, rs) =>
+        pack(spark, rs, dicts, probes).map {
+          case g: GraftInputPartition => GraftBucketedInputPartition(g, bucket)
+          case other => other // unreachable: pack emits GraftInputPartition
+        }
+      }
 }
 
 /** A completely-pushed global aggregate: the answer comes from the
@@ -1123,6 +1218,7 @@ class GraftWrite(path: String, inputSchema: StructType, doTruncate: Boolean,
       // a truncated batch dir must lose its READY visibility too, or a
       // concurrent stream would consume the half-written rewrite
       fs.delete(new Path(s"$path/_graft_batch_ready"), false)
+      Lineage.clearBucketMarker(fs, path) // rewritten below if arranged
     }
     fs.mkdirs(new Path(s"$path/data"))
     fs.mkdirs(new Path(s"$path/_lineage"))
@@ -1137,6 +1233,27 @@ class GraftWrite(path: String, inputSchema: StructType, doTruncate: Boolean,
             n.stripPrefix("part-").stripSuffix(".json").toInt }
         if (committed.isEmpty) 0 else committed.max + 1
       }
+    // Bucket-layout marker lifecycle (what makes storage-partitioned joins
+    // SOUND — see Lineage.writeBucketMarker): an arranged write into a
+    // fresh/truncated table ESTABLISHES bucketing n; an arranged append
+    // PRESERVES it only when the counts match and new part ids land on the
+    // same residues (pidOffset % n == 0, so part_id % n stays the bucket);
+    // everything else — unarranged writes, mismatched counts — DELETES the
+    // marker, because a stale marker silently drops join matches while a
+    // missing one merely costs a shuffle.
+    locally {
+      val hasCommitted = fs.listStatus(new Path(s"$path/_lineage"))
+        .exists(_.getPath.getName.endsWith(".json"))
+      arrange match {
+        case Some(n) if !hasCommitted => Lineage.writeBucketMarker(fs, path, n)
+        case Some(n) =>
+          if (!(Lineage.readBucketMarker(fs, path).contains(n) &&
+                pidOffset % n == 0))
+            Lineage.clearBucketMarker(fs, path)
+        case None =>
+          Lineage.clearBucketMarker(fs, path)
+      }
+    }
     val dict = Lineage.sharedDictBytes(spark, path)
     new GraftWriterFactory(path,
       new SerializableConfiguration(spark.sparkContext.hadoopConfiguration),
@@ -1356,9 +1473,12 @@ class GraftReaderFactory(conf: SerializableConfiguration,
                          required: StructType,
                          columnar: Boolean = true)
     extends PartitionReaderFactory {
+  private def unwrap(p: InputPartition): GraftInputPartition = p match {
+    case b: GraftBucketedInputPartition => b.p
+    case g: GraftInputPartition => g
+  }
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new GraftPartitionReader(conf.value, p.asInstanceOf[GraftInputPartition],
-      required)
+    new GraftPartitionReader(conf.value, unwrap(p), required)
   // COLUMNAR is the primary read path: emitting ColumnarBatch instead of
   // one GenericInternalRow per row removes the per-row volcano overhead
   // and lets Spark consume the scan through the same vectorized
@@ -1369,8 +1489,7 @@ class GraftReaderFactory(conf: SerializableConfiguration,
     columnar && required.fields.nonEmpty
   override def createColumnarReader(
       p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
-    new GraftColumnarReader(conf.value, p.asInstanceOf[GraftInputPartition],
-      required)
+    new GraftColumnarReader(conf.value, unwrap(p), required)
 }
 
 /** Vectorized reader: consumes the chunk's COLUMNAR decode
