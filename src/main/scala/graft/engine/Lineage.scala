@@ -37,9 +37,27 @@ object Lineage {
       // SrcStats blob: per-source (rows, tokens) of this chunk, for
       // manifest-only GROUP BY source. Empty on pre-upgrade manifests —
       // readers fall back to a meta read for such chunks (fail open)
-      src_stats: Array[Byte] = Array.emptyByteArray)
+      src_stats: Array[Byte] = Array.emptyByteArray,
+      // partition REWRITE generation (copy-on-write DELETE): gen 0 lives in
+      // part-N.{json,graft}, gen k>0 in part-N.gk.{json,graft}. Readers pick
+      // the highest committed gen per partition; pre-gen manifests parse as 0
+      gen: Int = 0)
 
   private def pn(pid: Int): String = f"part-$pid%05d"
+  private def genSfx(gen: Int): String = if (gen == 0) "" else s".g$gen"
+  private[engine] def manifestPath(dir: String, pid: Int, gen: Int): Path =
+    new Path(s"$dir/_lineage/${pn(pid)}${genSfx(gen)}.json")
+  private[engine] def dataPath(dir: String, pid: Int, gen: Int): Path =
+    new Path(s"$dir/data/${pn(pid)}${genSfx(gen)}.graft")
+  // part-NNNNN[.gK].json -> (pid, gen)
+  private val ManifestName = """part-(\d+)(?:\.g(\d+))?\.json""".r
+  /** Parse a manifest file name to (part id, generation); None for foreign
+    * names. Shared with the DSv2 sink's append part-id offsetting. */
+  def manifestPidGen(name: String): Option[(Int, Int)] = name match {
+    case ManifestName(p, g) =>
+      Some((p.toInt, Option(g).map(_.toInt).getOrElse(0)))
+    case _ => None
+  }
 
   /** Encode `ds` into `dir`. Partitions whose manifest already exists are
     * skipped (resume). Returns the number of partitions encoded this run. */
@@ -112,7 +130,11 @@ object Lineage {
     private var offset = 0L
     private var out: org.apache.hadoop.fs.FSDataOutputStream = _
 
-    def alreadyDone: Boolean = fs.exists(manifest)
+    // a DELETE-rewritten partition lives at gen>0 (part-N.gK.json) — it is
+    // every bit as committed as gen 0, and a resume that missed it would
+    // re-add rows the delete removed (plus duplicate the survivors)
+    def alreadyDone: Boolean = fs.exists(manifest) ||
+      fs.globStatus(new Path(s"$dir/_lineage/${pn(pid)}.g*.json")).nonEmpty
 
     def add(c: EncodedChunk): Unit = {
       if (out == null) out = fs.create(dataTmp, true)
@@ -305,20 +327,36 @@ object Lineage {
       // column; surface it as the empty "no stats" blob instead of failing
       // the typed cast (same back-compat contract as the JSON path)
       val df = spark.read.parquet(pq)
-      val compat =
+      var compat =
         if (df.columns.contains("src_stats")) df
         else df.withColumn("src_stats",
           org.apache.spark.sql.functions.lit(Array.emptyByteArray))
+      // pre-gen compactions: everything it covered lives at generation 0
+      if (!compat.columns.contains("gen"))
+        compat = compat.withColumn("gen", org.apache.spark.sql.functions.lit(0))
       compat.as[ManifestRow]
     }
     else spark.read.textFile(files.map(_.getPath.toString).toIndexedSeq: _*)
       .map(parseManifestLine _)
   }
 
+  /** The committed manifest files: one per partition, HIGHEST generation
+    * wins. A DELETE rewrite commits part-N.g(k+1).json by atomic rename and
+    * only then removes the superseded file, so a racing lister may see both
+    * generations of a partition — never neither — and this selection makes
+    * either view consistent. Foreign .json names (none are produced by this
+    * engine) pass through untouched. */
   private def manifestFiles(fs: FileSystem, dir: String)
-      : Array[org.apache.hadoop.fs.FileStatus] =
-    fs.listStatus(new Path(s"$dir/_lineage"))
+      : Array[org.apache.hadoop.fs.FileStatus] = {
+    val all = fs.listStatus(new Path(s"$dir/_lineage"))
       .filter(_.getPath.getName.endsWith(".json"))
+    val (known, foreign) =
+      all.partition(f => manifestPidGen(f.getPath.getName).isDefined)
+    known.groupBy(f => manifestPidGen(f.getPath.getName).get._1)
+      .valuesIterator
+      .map(_.maxBy(f => manifestPidGen(f.getPath.getName).get._2))
+      .toArray ++ foreign
+  }
 
   /** Driver-local manifest read for the planning cache: ONE listing, its
     * currency marker, and — when the listed .json bytes fit `maxBytes` —
@@ -397,6 +435,167 @@ object Lineage {
 
   def clearBucketMarker(fs: FileSystem, dir: String): Unit = {
     fs.delete(bucketMarkerPath(dir), false): Unit
+  }
+
+  // ---- copy-on-write DELETE --------------------------------------------------
+  /** Chunk classification for a DELETE predicate, decided from manifest
+    * metadata alone (zones / SrcStats): Keep = provably no row matches,
+    * Drop = provably every row matches, Maybe = decode and test rows. */
+  object DeleteClass { val Keep = 0; val Drop = 1; val Maybe = 2 }
+
+  final case class DeleteStats(partsRewritten: Long, chunksDropped: Long,
+                               chunksRewritten: Long, chunksCopied: Long,
+                               rowsDeleted: Long) {
+    def +(o: DeleteStats): DeleteStats = DeleteStats(
+      partsRewritten + o.partsRewritten, chunksDropped + o.chunksDropped,
+      chunksRewritten + o.chunksRewritten, chunksCopied + o.chunksCopied,
+      rowsDeleted + o.rowsDeleted)
+  }
+
+  /** Copy-on-write DELETE over a lineage table: rows matching `pred` are
+    * removed by rewriting ONLY the partitions that hold them, one
+    * generation up (`part-N.gK.{json,graft}`). Per chunk, `classify`
+    * (zone/SrcStats metadata only) decides the work: Keep chunks are
+    * byte-copied verbatim (no decode, CRC intact — and a fully-Keep
+    * partition is not touched at all), Drop chunks vanish without a read,
+    * Maybe chunks decode, drop matching rows exactly, and re-encode. The
+    * per-partition commit point is the atomic rename of the new manifest;
+    * `manifestFiles` picks the highest generation, so a racing reader sees
+    * the old or the new manifest, never neither or a mix of rows. The
+    * superseded generation's files are removed after the swap (the engine's
+    * single-writer contract — a reader holding the OLD manifest across the
+    * swap can lose the data file under it, the same immutable-dir
+    * assumption resume makes). Partition residues are preserved (rows are
+    * only removed, never moved), so a `_graft_buckets` SPJ marker stays
+    * valid; the manifest LISTING fingerprint changes with the new file
+    * names, so the driver manifest cache and parquet-compacted manifest
+    * invalidate themselves. At scale the cost is proportional to the data
+    * that actually changes: untouched partitions are never opened, dropped
+    * chunks never read, and only boundary chunks pay a decode+encode.
+    *
+    * Reference analog: pyppmd has no in-place mutation either — "removal"
+    * is re-encoding the stream without the removed spans, which is exactly
+    * what the Maybe path does per chunk (`tests/test_ppmd7.py:95-146`'s
+    * chunked re-encode framing). */
+  def deleteRewrite(spark: SparkSession, dir: String,
+                    classify: ManifestRow => Int,
+                    pred: SeqRow => Boolean): DeleteStats = {
+    val hconf = new SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val fs0 = FileSystem.get(new java.net.URI(dir), hconf.value)
+    if (!fs0.exists(new Path(s"$dir/_lineage")))
+      throw new UnsupportedOperationException(
+        s"DELETE needs a plain graft lineage table; $dir has none. " +
+          "Streaming batch trees refuse DELETE by design: untilBatch " +
+          "snapshots treat committed batches as immutable history.")
+    val work = manifestFiles(fs0, dir).map(_.getPath.getName)
+      .flatMap(n => manifestPidGen(n).map { case (pid, gen) => (n, pid, gen) })
+      .toIndexedSeq
+    if (work.isEmpty) return DeleteStats(0, 0, 0, 0, 0)
+    val dict = loadSharedDict(spark, dir)
+    spark.sparkContext
+      .parallelize(work,
+        math.min(work.size, spark.sparkContext.defaultParallelism.max(1)))
+      .map { case (name, pid, gen) =>
+        deleteRewriteOne(hconf.value, dir, name, pid, gen, classify, pred,
+          dict)
+      }
+      .reduce(_ + _)
+  }
+
+  private def deleteRewriteOne(conf: Configuration, dir: String,
+                               manifestName: String, pid: Int, oldGen: Int,
+                               classify: ManifestRow => Int,
+                               pred: SeqRow => Boolean,
+                               dictBytes: Option[Array[Byte]]): DeleteStats = {
+    val fs = FileSystem.get(new java.net.URI(dir), conf)
+    val oldManifest = new Path(s"$dir/_lineage/$manifestName")
+    val rows: Array[ManifestRow] = {
+      val in = fs.open(oldManifest)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).map(parseManifestLine).toArray
+      finally in.close()
+    }
+    val classes = rows.map(classify)
+    val none = DeleteStats(0, 0, 0, 0, 0)
+    // fully-Keep partition: provably holds no matching row — untouched
+    if (classes.forall(_ == DeleteClass.Keep)) return none
+    val newGen = oldGen + 1
+    val attempt = java.util.UUID.randomUUID().toString
+    val table = dictBytes.map(MetaDict.fromBytes).orNull
+    val dataTmp =
+      new Path(s"$dir/data/${pn(pid)}${genSfx(newGen)}.graft.inprogress-$attempt")
+    val out = fs.create(dataTmp, true)
+    val newRows = new scala.collection.mutable.ArrayBuffer[ManifestRow]()
+    var off = 0L
+    var dropped = 0L; var rewritten = 0L; var copied = 0L; var rowsDel = 0L
+    val oldData = dataPath(dir, pid, oldGen)
+    val in = if (rows.nonEmpty) fs.open(oldData) else null
+    def copyVerbatim(m: ManifestRow): Unit = {
+      if (m.length < 0 || m.length > Int.MaxValue - 8)
+        throw graft.codec.CorruptException(
+          s"chunk frame length ${m.length} out of addressable bounds")
+      in.seek(m.offset)
+      val buf = new Array[Byte](m.length.toInt)
+      in.readFully(buf)
+      out.write(buf)
+      newRows += m.copy(offset = off, gen = newGen)
+      off += m.length
+      copied += 1
+    }
+    try {
+      rows.zip(classes).foreach {
+        case (m, c) if c == DeleteClass.Keep => copyVerbatim(m)
+        case (m, c) if c == DeleteClass.Drop =>
+          dropped += 1; rowsDel += m.n_rows
+        case (m, _) =>
+          val kept = ChunkBuilder.open(readChunk(conf, dir, m), table)
+            .filterNot(pred).toArray
+          if (kept.isEmpty) { dropped += 1; rowsDel += m.n_rows }
+          else if (kept.length == m.n_rows) copyVerbatim(m) // exact test: 0 hits
+          else {
+            val ch = ChunkBuilder.build(pid, m.seq, kept.map(_.doc_id),
+              kept.map(_.source), kept.flatMap(_.tokens),
+              kept.map(_.tokens.length), table)
+            val rec = frameChunk(ch)
+            out.write(rec)
+            newRows += ManifestRow(pid, m.seq, ch.chunk_id, ch.codec,
+              ch.n_rows, ch.n_tokens, ch.raw_bytes, ch.enc_bytes, ch.crc32,
+              off, rec.length.toLong, ch.min_doc_id, ch.max_doc_id,
+              ch.min_tok, ch.max_tok, ch.tok_set, ch.src_stats, newGen)
+            off += rec.length
+            rewritten += 1
+            rowsDel += (m.n_rows - kept.length)
+          }
+      }
+    } finally {
+      if (in != null) in.close()
+      out.close()
+    }
+    if (dropped == 0 && rewritten == 0) {
+      // Maybe chunks existed but the exact row test hit nothing anywhere:
+      // the table is unchanged — discard the speculative copy
+      fs.delete(dataTmp, false)
+      return none
+    }
+    val dataFinal = dataPath(dir, pid, newGen)
+    if (fs.exists(dataFinal)) fs.delete(dataFinal, false) // dead prior attempt
+    if (!fs.rename(dataTmp, dataFinal))
+      throw new java.io.IOException(s"rename failed: $dataTmp -> $dataFinal")
+    val mTmp = new Path(
+      s"$dir/_lineage/${pn(pid)}${genSfx(newGen)}.json.inprogress-$attempt")
+    val mOut = fs.create(mTmp, true)
+    newRows.foreach(r => mOut.write((manifestJson(r) + "\n").getBytes("UTF-8")))
+    mOut.close()
+    val mFinal = manifestPath(dir, pid, newGen)
+    if (fs.exists(mFinal)) fs.delete(mFinal, false) // dead prior attempt
+    if (!fs.rename(mTmp, mFinal)) // commit point
+      throw new java.io.IOException(s"rename failed: $mTmp -> $mFinal")
+    // retire the superseded generation (manifest first: once it is gone no
+    // new reader can resolve the old data file)
+    fs.delete(oldManifest, false)
+    fs.delete(oldData, false)
+    DeleteStats(1, dropped, rewritten, copied, rowsDel)
   }
 
   /** Rewrite the committed manifest as parquet (plus a currency marker).
@@ -689,7 +888,7 @@ object Lineage {
     * Public for external readers (the `format("graft")` DSv2 source). */
   def readChunk(conf: Configuration, dir: String, m: ManifestRow): EncodedChunk = {
     val fs = FileSystem.get(new java.net.URI(dir), conf)
-    val in = fs.open(new Path(s"$dir/data/${pn(m.part_id)}.graft"))
+    val in = fs.open(dataPath(dir, m.part_id, m.gen))
     try {
       // typed bound BEFORE the narrowing: a manifest frame length past the
       // 2 GB array limit must fail as corruption, not as an untyped
@@ -714,7 +913,7 @@ object Lineage {
     * `payload` is EMPTY — callers must only open side/meta iterators on it. */
   def readChunkMeta(conf: Configuration, dir: String, m: ManifestRow): EncodedChunk = {
     val fs = FileSystem.get(new java.net.URI(dir), conf)
-    val in = fs.open(new Path(s"$dir/data/${pn(m.part_id)}.graft"))
+    val in = fs.open(dataPath(dir, m.part_id, m.gen))
     try {
       in.seek(m.offset)
       val hdr = new Array[Byte](math.min(10L, m.length).toInt)
@@ -800,6 +999,7 @@ object Lineage {
     s""""min_tok":${r.min_tok},"max_tok":${r.max_tok},""" +
     s""""tok_set":"${java.util.Base64.getEncoder.encodeToString(r.tok_set)}",""" +
     s""""src_stats":"${java.util.Base64.getEncoder.encodeToString(r.src_stats)}",""" +
+    s""""gen":${r.gen},""" +
     s""""min_doc_id":"${esc(r.min_doc_id)}","max_doc_id":"${esc(r.max_doc_id)}"}"""
 
   private def parseManifestLine(line: String): ManifestRow = {
@@ -838,7 +1038,9 @@ object Lineage {
       num("raw_bytes"), num("enc_bytes"), num("crc32"), num("offset"),
       num("length"), str("min_doc_id"), str("max_doc_id"),
       numOr("min_tok", Int.MinValue).toInt, numOr("max_tok", Int.MaxValue).toInt,
-      tokSet, srcStats)
+      tokSet, srcStats,
+      // pre-gen manifests (no DELETE ever ran) live in the gen-0 files
+      gen = numOr("gen", 0).toInt)
   }
 
   private def writeVarint(bos: java.io.ByteArrayOutputStream, v0: Long): Unit = {

@@ -78,7 +78,8 @@ object GraftTable {
 }
 
 class GraftTable(path: String) extends Table
-    with SupportsRead with SupportsWrite {
+    with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = s"graft:$path"
   override def schema(): StructType = GraftTable.Schema
   override def capabilities(): util.Set[TableCapability] =
@@ -89,6 +90,14 @@ class GraftTable(path: String) extends Table
     new GraftScanBuilder(path, options)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(path, info)
+  // DELETE FROM ... WHERE ...: copy-on-write over the lineage dir — see
+  // GraftDelete (classification) and Lineage.deleteRewrite (generational
+  // per-partition rewrite, atomic at the manifest rename)
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    GraftDelete.deletable(filters)
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    GraftDelete.run(SparkSession.active, path, filters): Unit
+  }
 }
 
 /** Which manifest-only aggregates a pushed Aggregation wants, in output
@@ -1227,10 +1236,11 @@ class GraftWrite(path: String, inputSchema: StructType, doTruncate: Boolean,
     val pidOffset =
       if (resume || doTruncate) 0
       else {
+        // gen-aware parse: a DELETE-rewritten partition lives at
+        // part-N.gK.json and still occupies part id N
         val committed = fs.listStatus(new Path(s"$path/_lineage"))
           .map(_.getPath.getName)
-          .collect { case n if n.startsWith("part-") && n.endsWith(".json") =>
-            n.stripPrefix("part-").stripSuffix(".json").toInt }
+          .flatMap(n => Lineage.manifestPidGen(n).map(_._1))
         if (committed.isEmpty) 0 else committed.max + 1
       }
     // Bucket-layout marker lifecycle (what makes storage-partitioned joins

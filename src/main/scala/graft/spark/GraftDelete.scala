@@ -1,0 +1,171 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.sources._
+
+import graft.engine.{Lineage, SeqRow, SrcStats, Utf8Order}
+
+/** `DELETE FROM graft_table WHERE ...` (DSv2 `SupportsDelete`): the filter
+  * conjunction is compiled to (a) an EXACT row predicate and (b) a
+  * per-chunk metadata classifier, and `Lineage.deleteRewrite` does the
+  * copy-on-write work. The classifier is what makes DELETE scale-honest:
+  *
+  *   - Keep  — the chunk provably holds NO matching row (zone map /
+  *             SrcStats disproof): byte-copied verbatim, never decoded; a
+  *             partition of only-Keep chunks is never opened at all.
+  *   - Drop  — the chunk provably holds ONLY matching rows (zone/SrcStats
+  *             proof): removed from the manifest without a single read.
+  *   - Maybe — boundary chunks only: decode, apply the exact predicate,
+  *             re-encode the survivors.
+  *
+  * A takedown sweep over 100 TB therefore reads exactly the boundary
+  * chunks of the deleted range, drops interior chunks by manifest rewrite
+  * alone, and leaves every untouched partition's files untouched.
+  *
+  * Soundness mirrors the pruning contract (a wrong Keep would silently
+  * retain or lose rows): provers are CONSERVATIVE — when metadata cannot
+  * decide, the chunk goes to Maybe and the exact row predicate decides.
+  * doc_id comparisons run in UTF-8 binary order (`Utf8Order`), the order
+  * Spark's UTF8String comparisons and the chunk zone bounds use —
+  * mirroring `GraftPlanning.admitsAll`. */
+private[spark] object GraftDelete {
+
+  /** Exact row predicate for ONE filter; None = shape we do not support
+    * (canDeleteWhere then refuses and Spark reports the filters). */
+  def rowPred(f: Filter): Option[SeqRow => Boolean] = f match {
+    case EqualTo("doc_id", v: String) => Some(_.doc_id == v)
+    case EqualNullSafe("doc_id", v: String) => Some(_.doc_id == v)
+    case GreaterThan("doc_id", v: String) =>
+      Some(r => Utf8Order.gt(r.doc_id, v))
+    case GreaterThanOrEqual("doc_id", v: String) =>
+      Some(r => Utf8Order.gte(r.doc_id, v))
+    case LessThan("doc_id", v: String) =>
+      Some(r => Utf8Order.lt(r.doc_id, v))
+    case LessThanOrEqual("doc_id", v: String) =>
+      Some(r => Utf8Order.lte(r.doc_id, v))
+    case In("doc_id", vs) =>
+      val set = vs.collect { case s: String => s }.toSet
+      if (set.size == vs.length) Some(r => set.contains(r.doc_id)) else None
+    case EqualTo("source", v: String) => Some(_.source == v)
+    case EqualNullSafe("source", v: String) => Some(_.source == v)
+    case In("source", vs) =>
+      val set = vs.collect { case s: String => s }.toSet
+      if (set.size == vs.length) Some(r => set.contains(r.source)) else None
+    case EqualTo("n_tok", v: Number) =>
+      val n = v.intValue; Some(_.n_tok == n)
+    case GreaterThan("n_tok", v: Number) =>
+      val n = v.intValue; Some(_.n_tok > n)
+    case GreaterThanOrEqual("n_tok", v: Number) =>
+      val n = v.intValue; Some(_.n_tok >= n)
+    case LessThan("n_tok", v: Number) =>
+      val n = v.intValue; Some(_.n_tok < n)
+    case LessThanOrEqual("n_tok", v: Number) =>
+      val n = v.intValue; Some(_.n_tok <= n)
+    case In("n_tok", vs) =>
+      val set = vs.collect { case n: Number => n.intValue }.toSet
+      if (set.size == vs.length) Some(r => set.contains(r.n_tok)) else None
+    // all four graft columns are non-null by schema
+    case IsNotNull("doc_id" | "tokens" | "n_tok" | "source") => Some(_ => true)
+    case IsNull("doc_id" | "tokens" | "n_tok" | "source") => Some(_ => false)
+    case AlwaysTrue() => Some(_ => true)
+    case AlwaysFalse() => Some(_ => false)
+    case And(a, b) =>
+      for (pa <- rowPred(a); pb <- rowPred(b)) yield (r: SeqRow) => pa(r) && pb(r)
+    case Or(a, b) =>
+      for (pa <- rowPred(a); pb <- rowPred(b)) yield (r: SeqRow) => pa(r) || pb(r)
+    case Not(a) => rowPred(a).map(p => (r: SeqRow) => !p(r))
+    case _ => None
+  }
+
+  private type M = Lineage.ManifestRow
+
+  /** TRUE only when metadata PROVES every row of the chunk matches `f`. */
+  def provesAll(f: Filter): M => Boolean = f match {
+    case EqualTo("doc_id", v: String) =>
+      m => m.min_doc_id == v && m.max_doc_id == v
+    case EqualNullSafe("doc_id", v: String) =>
+      m => m.min_doc_id == v && m.max_doc_id == v
+    case GreaterThan("doc_id", v: String) => m => Utf8Order.gt(m.min_doc_id, v)
+    case GreaterThanOrEqual("doc_id", v: String) =>
+      m => Utf8Order.gte(m.min_doc_id, v)
+    case LessThan("doc_id", v: String) => m => Utf8Order.lt(m.max_doc_id, v)
+    case LessThanOrEqual("doc_id", v: String) =>
+      m => Utf8Order.lte(m.max_doc_id, v)
+    case In("doc_id", vs) =>
+      val set = vs.collect { case s: String => s }.toSet
+      m => m.min_doc_id == m.max_doc_id && set.contains(m.min_doc_id)
+    case EqualTo("source", v: String) =>
+      m => SrcStats.decode(m.src_stats)
+        .exists(es => es.nonEmpty && es.forall(_._1 == v))
+    case EqualNullSafe("source", v: String) => provesAll(EqualTo("source", v))
+    case In("source", vs) =>
+      val set = vs.collect { case s: String => s }.toSet
+      m => SrcStats.decode(m.src_stats)
+        .exists(es => es.nonEmpty && es.forall(e => set.contains(e._1)))
+    case IsNotNull("doc_id" | "tokens" | "n_tok" | "source") => _ => true
+    case AlwaysTrue() => _ => true
+    case And(a, b) =>
+      val pa = provesAll(a); val pb = provesAll(b); m => pa(m) && pb(m)
+    case Or(a, b) =>
+      val pa = provesAll(a); val pb = provesAll(b); m => pa(m) || pb(m)
+    // every row matches Not(a) iff no row can match a
+    case Not(a) => val ma = mayMatch(a); m => !ma(m)
+    case _ => _ => false // undecidable from metadata: never claim proof
+  }
+
+  /** FALSE only when metadata PROVES no row of the chunk matches `f`
+    * (the DELETE twin of `GraftPlanning.admitsAll`'s zone tests). */
+  def mayMatch(f: Filter): M => Boolean = f match {
+    case EqualTo("doc_id", v: String) =>
+      m => Utf8Order.gte(m.max_doc_id, v) && Utf8Order.lte(m.min_doc_id, v)
+    case EqualNullSafe("doc_id", v: String) => mayMatch(EqualTo("doc_id", v))
+    case GreaterThan("doc_id", v: String) => m => Utf8Order.gt(m.max_doc_id, v)
+    case GreaterThanOrEqual("doc_id", v: String) =>
+      m => Utf8Order.gte(m.max_doc_id, v)
+    case LessThan("doc_id", v: String) => m => Utf8Order.lt(m.min_doc_id, v)
+    case LessThanOrEqual("doc_id", v: String) =>
+      m => Utf8Order.lte(m.min_doc_id, v)
+    case In("doc_id", vs) =>
+      val sorted = ZonePrune.sortValues(vs.collect { case s: String => s })
+      m => ZonePrune.anyInRange(sorted, m.min_doc_id, m.max_doc_id)
+    case EqualTo("source", v: String) =>
+      // unknown stats (pre-upgrade manifest) fail OPEN: Maybe, never Keep
+      m => SrcStats.decode(m.src_stats).forall(_.exists(_._1 == v))
+    case EqualNullSafe("source", v: String) => mayMatch(EqualTo("source", v))
+    case In("source", vs) =>
+      val set = vs.collect { case s: String => s }.toSet
+      m => SrcStats.decode(m.src_stats).forall(_.exists(e => set.contains(e._1)))
+    case IsNull("doc_id" | "tokens" | "n_tok" | "source") => _ => false
+    case AlwaysFalse() => _ => false
+    case And(a, b) =>
+      val pa = mayMatch(a); val pb = mayMatch(b); m => pa(m) && pb(m)
+    case Or(a, b) =>
+      val pa = mayMatch(a); val pb = mayMatch(b); m => pa(m) || pb(m)
+    // some row may match Not(a) unless EVERY row provably matches a
+    case Not(a) => val pa = provesAll(a); m => !pa(m)
+    case _ => _ => true // undecidable: may match
+  }
+
+  /** All filters compile to exact row predicates? (The canDeleteWhere
+    * gate — the classifiers are always conservative, so row-predicate
+    * coverage is the only hard requirement.) */
+  def deletable(filters: Array[Filter]): Boolean =
+    filters.forall(rowPred(_).isDefined)
+
+  /** Execute the delete; returns the rewrite statistics. */
+  def run(spark: SparkSession, path: String,
+          filters: Array[Filter]): Lineage.DeleteStats = {
+    val preds = filters.map(f => rowPred(f).getOrElse(
+      throw new UnsupportedOperationException(
+        s"DELETE filter not supported by the graft source: $f")))
+    val pred: SeqRow => Boolean = r => preds.forall(_(r))
+    val proofs = filters.map(provesAll)
+    val mays = filters.map(mayMatch)
+    val classify: M => Int = { m =>
+      if (proofs.forall(_(m))) Lineage.DeleteClass.Drop
+      else if (mays.exists(p => !p(m))) Lineage.DeleteClass.Keep
+      else Lineage.DeleteClass.Maybe
+    }
+    Lineage.deleteRewrite(spark, path, classify, pred)
+  }
+}
