@@ -33,6 +33,7 @@ object SparkEntry {
     "graft_source_in" -> (EngineQueries.graftSourceIn _),
     "graft_catalog" -> (EngineQueries.graftCatalog _),
     "graft_spj" -> (EngineQueries.graftSpj _),
+    "graft_delete" -> (EngineQueries.graftDelete _),
     "encode_expr" -> (EngineQueries.encodeExpr _),
     "token_stats" -> (EngineQueries.tokenStats _),
     "source_distinct_tokens" -> (EngineQueries.sourceDistinctTokens _),
@@ -124,6 +125,7 @@ object SparkEntry {
     // recomputed by a DuckDB self-join over the same corpus (the query
     // itself asserts the zero-join-exchange plan in-line)
     "graft_spj" -> EngineQueries.graftSpjSql,
+    "graft_delete" -> EngineQueries.graftDeleteSql,
     "seq_split" -> PackQueries.seqSplitSql,
     "seq_len_hist" -> PackQueries.seqLenHistSql,
     // packing is a sequential fold (not ANSI-SQL-expressible): pinned by an

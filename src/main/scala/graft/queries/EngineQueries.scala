@@ -509,6 +509,52 @@ object EngineQueries {
       |FROM read_parquet('/root/repo/data/oracle/corpus_n5000.parquet/*.parquet')
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** The r6 copy-on-write DELETE through the hard channel: encode the
+    * corpus to its OWN scratch table (never shared with graft_source —
+    * this one mutates), run two SQL `DELETE FROM` statements through the
+    * catalog — a doc_id RANGE (zone-map classification: interior chunks
+    * drop by manifest rewrite, boundary chunks decode-filter-re-encode)
+    * and a `source =` predicate (SrcStats classification) — then roll up
+    * the survivors per source. DuckDB pins the values by applying the
+    * negated predicates to the same corpus parquet. Re-runs are
+    * deterministic end-to-end: the encode RESUMES over the gen'd
+    * partitions (a DELETE-rewritten partition counts as committed, so
+    * deleted rows are never resurrected) and both DELETEs are idempotent.
+    * Reference analog: removal is re-encoding the stream without the
+    * removed spans (`tests/test_ppmd7.py:95-146`). */
+  def graftDelete(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n = math.min(rowsForDir(dir), 5000L)
+    val ds = graft.io.CorpusTable.table(s, n)
+      .select(col("doc_id"), col("tokens"), col("n_tok"), col("source"))
+      .as[SeqRow]
+    val base =
+      s"${sys.props("java.io.tmpdir")}/graft_del_q_n${n}_v${EngineQueries.codeFingerprint}"
+    Lineage.encodeToDir(ds, s"$base/t",
+      EncoderConfig(chunkTokens = 1 << 17, numPartitions = 4))
+    s.conf.set("spark.sql.catalog.graftdel", classOf[graft.spark.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftdel.root", s"$base/cat")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graftdel.q")
+    s.sql(s"CREATE TABLE IF NOT EXISTS graftdel.q.corpus USING graft LOCATION '$base/t'")
+    s.sql(
+      """DELETE FROM graftdel.q.corpus
+        |WHERE doc_id >= 'doc-000000001000' AND doc_id < 'doc-000000002000'"""
+        .stripMargin)
+    s.sql("DELETE FROM graftdel.q.corpus WHERE source = 'forum'")
+    s.sql(
+      """SELECT source, count(*) AS n_rows, sum(n_tok) AS n_tokens,
+        |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+        |FROM graftdel.q.corpus GROUP BY source ORDER BY source""".stripMargin)
+  }
+
+  val graftDeleteSql: String =
+    """SELECT source, count(*) AS n_rows, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+      |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+      |FROM read_parquet('/root/repo/data/oracle/corpus_n5000.parquet/*.parquet')
+      |WHERE NOT (doc_id >= 'doc-000000001000' AND doc_id < 'doc-000000002000')
+      |  AND source <> 'forum'
+      |GROUP BY source ORDER BY source""".stripMargin
+
   /** Token-containment pruning through the hard channel: an
     * `array_contains(tokens, v)` filter over the DSv2 source (folded into
     * the containsToken probe by GraftExtensions' rule — zone map +
