@@ -28,7 +28,7 @@ import graft.engine.{Lineage, SeqRow, SrcStats, Utf8Order}
   * doc_id comparisons run in UTF-8 binary order (`Utf8Order`), the order
   * Spark's UTF8String comparisons and the chunk zone bounds use —
   * mirroring `GraftPlanning.admitsAll`. */
-private[spark] object GraftDelete {
+private[graft] object GraftDelete {
 
   /** Exact row predicate for ONE filter; None = shape we do not support
     * (canDeleteWhere then refuses and Spark reports the filters). */
