@@ -598,6 +598,75 @@ object Lineage {
     DeleteStats(1, dropped, rewritten, copied, rowsDel)
   }
 
+  final case class VacuumStats(inprogressRemoved: Long,
+                               supersededRemoved: Long,
+                               orphanDataRemoved: Long)
+
+  /** Reclaim garbage a crash can strand in a lineage dir — a driver-side
+    * maintenance op (one listing per subdir; nothing here scales with data):
+    *
+    *   - `*.inprogress-*` attempt files older than `olderThanMs` (younger
+    *     ones may belong to a LIVE write/delete attempt — left alone);
+    *   - superseded GENERATIONS: a crash between a DELETE's manifest
+    *     commit and its retirement step leaves the old gen's files behind.
+    *     Readers already ignore them (`manifestFiles` takes the highest
+    *     gen), so removal is immediate — the same single-writer assumption
+    *     the delete's own retirement makes;
+    *   - gen>0 DATA files with no committed manifest at any gen ≥ theirs,
+    *     older than the TTL: a delete that crashed after the data rename
+    *     but before the manifest rename (a retried delete overwrites this
+    *     file, so only TTL-stale ones are treated as abandoned). Gen-0
+    *     data without a manifest is an in-flight FIRST encode and is the
+    *     resume protocol's property — never touched.
+    *
+    * Batch trees: run per batch dir (this op takes a plain lineage dir,
+    * the same contract as DELETE). */
+  def vacuum(conf: Configuration, dir: String,
+             olderThanMs: Long = 24L * 3600 * 1000): VacuumStats = {
+    val fs = FileSystem.get(new java.net.URI(dir), conf)
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    var inprog = 0L; var superseded = 0L; var orphans = 0L
+    def sweepInprogress(sub: String): Unit = {
+      val p = new Path(s"$dir/$sub")
+      if (fs.exists(p)) fs.listStatus(p).foreach { f =>
+        if (f.getPath.getName.contains(".inprogress") &&
+            f.getModificationTime < cutoff) {
+          fs.delete(f.getPath, false); inprog += 1
+        }
+      }
+    }
+    sweepInprogress("data")
+    sweepInprogress("_lineage")
+    val ldir = new Path(s"$dir/_lineage")
+    if (!fs.exists(ldir)) return VacuumStats(inprog, 0, 0)
+    val committed = fs.listStatus(ldir).map(_.getPath.getName)
+      .flatMap(manifestPidGen(_))
+    val maxGen: Map[Int, Int] =
+      committed.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    // superseded manifests + their data files (gen < the committed max)
+    committed.filter { case (pid, g) => g < maxGen(pid) }.foreach {
+      case (pid, g) =>
+        if (fs.delete(manifestPath(dir, pid, g), false)) superseded += 1
+        if (fs.delete(dataPath(dir, pid, g), false)) superseded += 1
+    }
+    // abandoned gen>0 data files: no manifest at their gen or above
+    val DataName = """part-(\d+)\.g(\d+)\.graft""".r
+    val ddir = new Path(s"$dir/data")
+    if (fs.exists(ddir)) fs.listStatus(ddir).foreach { f =>
+      f.getPath.getName match {
+        case DataName(p, g) =>
+          val pid = p.toInt; val gen = g.toInt
+          if (maxGen.getOrElse(pid, -1) < gen && f.getModificationTime < cutoff) {
+            fs.delete(f.getPath, false); orphans += 1
+          }
+        case _ =>
+          // gen-0 data (part-N.graft) is the encode resume protocol's
+          // property; foreign names are not ours to delete
+      }
+    }
+    VacuumStats(inprog, superseded, orphans)
+  }
+
   /** Rewrite the committed manifest as parquet (plus a currency marker).
     * Run after a (batch of) encodeToDir calls; idempotent. Returns the
     * number of lineage partitions covered. A marker in any older/foreign
