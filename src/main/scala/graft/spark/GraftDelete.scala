@@ -43,14 +43,16 @@ private[graft] object GraftDelete {
       Some(r => Utf8Order.lt(r.doc_id, v))
     case LessThanOrEqual("doc_id", v: String) =>
       Some(r => Utf8Order.lte(r.doc_id, v))
-    case In("doc_id", vs) =>
+    case In("doc_id", vs) if vs.forall(_.isInstanceOf[String]) =>
+      // duplicates in the IN-list are fine (the set dedups); only a
+      // non-String element makes the shape untranslatable
       val set = vs.collect { case s: String => s }.toSet
-      if (set.size == vs.length) Some(r => set.contains(r.doc_id)) else None
+      Some(r => set.contains(r.doc_id))
     case EqualTo("source", v: String) => Some(_.source == v)
     case EqualNullSafe("source", v: String) => Some(_.source == v)
-    case In("source", vs) =>
+    case In("source", vs) if vs.forall(_.isInstanceOf[String]) =>
       val set = vs.collect { case s: String => s }.toSet
-      if (set.size == vs.length) Some(r => set.contains(r.source)) else None
+      Some(r => set.contains(r.source))
     case EqualTo("n_tok", v: Number) =>
       val n = v.intValue; Some(_.n_tok == n)
     case GreaterThan("n_tok", v: Number) =>
@@ -61,9 +63,9 @@ private[graft] object GraftDelete {
       val n = v.intValue; Some(_.n_tok < n)
     case LessThanOrEqual("n_tok", v: Number) =>
       val n = v.intValue; Some(_.n_tok <= n)
-    case In("n_tok", vs) =>
+    case In("n_tok", vs) if vs.forall(_.isInstanceOf[Number]) =>
       val set = vs.collect { case n: Number => n.intValue }.toSet
-      if (set.size == vs.length) Some(r => set.contains(r.n_tok)) else None
+      Some(r => set.contains(r.n_tok))
     // all four graft columns are non-null by schema
     case IsNotNull("doc_id" | "tokens" | "n_tok" | "source") => Some(_ => true)
     case IsNull("doc_id" | "tokens" | "n_tok" | "source") => Some(_ => false)

@@ -148,7 +148,9 @@ class GraftDeleteSpec extends AnyFunSuite {
     spark.sql("DELETE FROM gdel.q.g WHERE n_tok < 0") // matches nothing
     assert(spark.table("gdel.q.g").count() == 400) // untouched (Maybe, 0 hits)
     spark.sql("DELETE FROM gdel.q.g WHERE doc_id = 'doc-00007'")
-    spark.sql("DELETE FROM gdel.q.g WHERE doc_id = 'doc-00008'")
+    // IN-shape (zone-pruned classification); a duplicate value is legal
+    spark.sql(
+      "DELETE FROM gdel.q.g WHERE doc_id IN ('doc-00008', 'doc-00008')")
     assert(spark.table("gdel.q.g").count() == 398)
     // an append after deletes offsets PAST the gen'd partitions
     spark.createDataset(Seq(SeqRow("zzz-new", Array(1, 2, 3), 3, "web")))
