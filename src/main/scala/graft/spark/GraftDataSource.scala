@@ -75,11 +75,40 @@ object GraftTable {
       nullable = false),
     StructField("n_tok", IntegerType, nullable = false),
     StructField("source", StringType, nullable = false)))
+
+  /** Row provenance as DSv2 metadata columns — `SELECT doc_id, _chunk_id
+    * FROM t` answers "which chunk/partition/generation does this row live
+    * in" without any side lookup (the audit question a 100-TB takedown or
+    * corruption triage asks first). Hidden from `SELECT *`; values are
+    * per-chunk constants the reader stamps from the manifest row it is
+    * already holding — zero extra I/O. */
+  private final class MetaCol(n: String, dt: org.apache.spark.sql.types.DataType,
+                              desc: String)
+      extends org.apache.spark.sql.connector.catalog.MetadataColumn {
+    override def name(): String = n
+    override def dataType(): org.apache.spark.sql.types.DataType = dt
+    override def isNullable: Boolean = false
+    override def comment(): String = desc
+  }
+  val MetaCols: Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(
+      new MetaCol("_part_id", IntegerType, "lineage partition id"),
+      new MetaCol("_chunk_id", org.apache.spark.sql.types.LongType,
+        "chunk id within the table"),
+      new MetaCol("_gen", IntegerType,
+        "partition rewrite generation (0 until a DELETE rewrites it)"))
+  /** Reader ordinals for the metadata columns (base columns are 0-3). */
+  private[spark] val MetaOrdinal: Map[String, Int] =
+    Map("_part_id" -> 4, "_chunk_id" -> 5, "_gen" -> 6)
 }
 
 class GraftTable(path: String) extends Table
     with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    GraftTable.MetaCols
   override def name(): String = s"graft:$path"
   override def schema(): StructType = GraftTable.Schema
   override def capabilities(): util.Set[TableCapability] =
@@ -1529,6 +1558,8 @@ class GraftColumnarReader(conf: Configuration, p: GraftInputPartition,
   private var tokOff = 0  // its offset in the chunk's flat token array
 
   /** Load the next non-empty chunk; false when the partition is drained. */
+  private var curM: Lineage.ManifestRow = _ // provenance metadata source
+
   private def advance(): Boolean = {
     while (chunkIdx < p.rows.length) {
       val m = p.rows(chunkIdx)
@@ -1540,6 +1571,7 @@ class GraftColumnarReader(conf: Configuration, p: GraftInputPartition,
         withTokens = wantTok, withDocIds = needDocId)
       srcBytes =
         cols.srcDict.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      curM = m
       row = 0
       tokOff = 0
       if (cols.nRows > 0) return true
@@ -1552,8 +1584,8 @@ class GraftColumnarReader(conf: Configuration, p: GraftInputPartition,
     case "tokens" => 1
     case "n_tok"  => 2
     case "source" => 3
-    case other =>
-      throw new IllegalArgumentException(s"unknown graft column $other")
+    case other => GraftTable.MetaOrdinal.getOrElse(other,
+      throw new IllegalArgumentException(s"unknown graft column $other"))
   }
   private val vectors = OnHeapColumnVector.allocateColumns(Cap, required)
   private val batch =
@@ -1582,6 +1614,10 @@ class GraftColumnarReader(conf: Configuration, p: GraftInputPartition,
         case 3 =>
           val b = srcBytes(cols.srcIdx(r))
           vectors(c).putByteArray(i, b, 0, b.length)
+        // provenance metadata: per-chunk constants from the manifest row
+        case 4 => vectors(c).putInt(i, curM.part_id)
+        case 5 => vectors(c).putLong(i, curM.chunk_id)
+        case 6 => vectors(c).putInt(i, curM.gen)
       }
       c += 1
     }
@@ -1653,8 +1689,8 @@ class GraftPartitionReader(conf: Configuration, p: GraftInputPartition,
     case "tokens" => 1
     case "n_tok"  => 2
     case "source" => 3
-    case other =>
-      throw new IllegalArgumentException(s"unknown graft column $other")
+    case other => GraftTable.MetaOrdinal.getOrElse(other,
+      throw new IllegalArgumentException(s"unknown graft column $other"))
   }
   private val needTokens = ordinals.contains(1)
   private val needDocId = ordinals.contains(0)
@@ -1665,11 +1701,11 @@ class GraftPartitionReader(conf: Configuration, p: GraftInputPartition,
       // as a MAYBE) — the payload must decode regardless of projection
       ChunkBuilder.open(Lineage.readChunk(conf, p.dir, m), dict)
         .filter(r => p.probes.forall(r.tokens.contains))
-        .map(r => project(r.doc_id, r.tokens, r.n_tok, r.source))
+        .map(r => project(m, r.doc_id, r.tokens, r.n_tok, r.source))
     else {
       if (needTokens)
         ChunkBuilder.open(Lineage.readChunk(conf, p.dir, m), dict)
-          .map(r => project(r.doc_id, r.tokens, r.n_tok, r.source))
+          .map(r => project(m, r.doc_id, r.tokens, r.n_tok, r.source))
       else {
         // payload-free projection: readChunkMeta SEEKS past the payload —
         // its bytes are neither decoded NOR transferred (two small range
@@ -1677,16 +1713,16 @@ class GraftPartitionReader(conf: Configuration, p: GraftInputPartition,
         val chunk = Lineage.readChunkMeta(conf, p.dir, m)
         if (needDocId)
           ChunkBuilder.openSide(chunk, dict)
-            .map { case (id, n, src) => project(id, null, n, src) }
+            .map { case (id, n, src) => project(m, id, null, n, src) }
         else // neither payload NOR the doc_id section (the dominant cost)
           ChunkBuilder.openMeta(chunk)
-            .map { case (src, n) => project(null, null, n, src) }
+            .map { case (src, n) => project(m, null, null, n, src) }
       }
     }
   }
 
-  private def project(id: String, toks: Array[Int], n: Int,
-                      src: String): InternalRow = {
+  private def project(m: Lineage.ManifestRow, id: String, toks: Array[Int],
+                      n: Int, src: String): InternalRow = {
     val out = new GenericInternalRow(ordinals.length)
     var i = 0
     while (i < ordinals.length) {
@@ -1695,6 +1731,11 @@ class GraftPartitionReader(conf: Configuration, p: GraftInputPartition,
         case 1 => out.update(i, UnsafeArrayData.fromPrimitiveArray(toks))
         case 2 => out.setInt(i, n)
         case 3 => out.update(i, UTF8String.fromString(src))
+        // provenance metadata: per-chunk constants from the manifest row
+        // the reader is already holding — no extra I/O
+        case 4 => out.setInt(i, m.part_id)
+        case 5 => out.setLong(i, m.chunk_id)
+        case 6 => out.setInt(i, m.gen)
       }
       i += 1
     }
