@@ -154,6 +154,40 @@ private[graft] object GraftDelete {
   def deletable(filters: Array[Filter]): Boolean =
     filters.forall(rowPred(_).isDefined)
 
+  /** Bulk takedown: delete every row whose doc_id appears in `ids` — the
+    * step a curation pipeline runs on a dedup loser-set or a removal list.
+    * The set is collected to the driver under a loud byte cap (takedown
+    * lists are thousands-to-millions of ids; `graft.delete.maxIdBytes`,
+    * default 64 MB ≈ several million ids) and broadcast inside the rewrite
+    * tasks' closure; chunks prune by the same binary-searched zone test
+    * the IN-list scan pushdown uses, so only chunks whose [min,max] range
+    * actually covers a listed id are opened. A list past the cap must be
+    * split by the caller (e.g. by doc_id range) — refusing loudly beats a
+    * silent driver OOM, the `graft.plan.maxChunks` stance. */
+  def deleteIds(spark: SparkSession, path: String,
+                ids: org.apache.spark.sql.Dataset[String],
+                maxIdBytes: Long = 64L << 20): Lineage.DeleteStats = {
+    import org.apache.spark.sql.functions.{col, count, length, lit, sum}
+    val stats = ids.agg(count(lit(1)), sum(length(col(ids.columns.head))))
+      .collect()(0)
+    val n = stats.getLong(0)
+    val bytes = if (stats.isNullAt(1)) 0L else stats.getLong(1)
+    require(bytes <= maxIdBytes,
+      s"takedown id set is $bytes bytes over $n ids (cap $maxIdBytes); " +
+        "split the delete by doc_id range, or raise maxIdBytes")
+    if (n == 0L) return Lineage.DeleteStats(0, 0, 0, 0, 0)
+    val sorted = ZonePrune.sortValues(ids.distinct().collect().toSeq)
+    val set = sorted.toSet
+    val classify: Lineage.ManifestRow => Int = { m =>
+      if (m.min_doc_id == m.max_doc_id && set.contains(m.min_doc_id))
+        Lineage.DeleteClass.Drop
+      else if (!ZonePrune.anyInRange(sorted, m.min_doc_id, m.max_doc_id))
+        Lineage.DeleteClass.Keep
+      else Lineage.DeleteClass.Maybe
+    }
+    Lineage.deleteRewrite(spark, path, classify, r => set.contains(r.doc_id))
+  }
+
   /** Execute the delete; returns the rewrite statistics. */
   def run(spark: SparkSession, path: String,
           filters: Array[Filter]): Lineage.DeleteStats = {
