@@ -140,12 +140,27 @@ private[spark] case object AggSumNTok extends GraftAggCol
 class GraftScanBuilder(path: String, options: CaseInsensitiveStringMap)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates with SupportsPushDownLimit {
+    with SupportsPushDownAggregates with SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownTableSample {
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = GraftTable.Schema
   private var limit: Option[Int] = None
   private var aggCols: Option[Seq[GraftAggCol]] = None
   private var aggGrouped: Boolean = false
+  private var sample: Option[GraftSample] = None
+
+  /** Pushed TABLESAMPLE (`df.sample(f, seed)` / `TABLESAMPLE (f PERCENT)
+    * REPEATABLE(seed)`): Bernoulli, seed-deterministic (GraftSample), with
+    * whole-chunk skips in the reader when no row of a chunk is selected.
+    * Refused with replacement (not Bernoulli), and never combined with a
+    * pushed aggregate or limit in EITHER order — a manifest-only count
+    * over a sampled scan would return the unsampled answer. */
+  override def pushTableSample(lowerBound: Double, upperBound: Double,
+                               withReplacement: Boolean,
+                               seed: Long): Boolean = {
+    if (withReplacement || aggCols.isDefined || limit.isDefined) false
+    else { sample = Some(GraftSample(lowerBound, upperBound, seed)); true }
+  }
   // out-of-band containment predicate: "only rows whose tokens contain v"
   // (exact — the reader filters rows, the planner prunes chunks)
   private val probes: Array[Int] =
@@ -196,7 +211,9 @@ class GraftScanBuilder(path: String, options: CaseInsensitiveStringMap)
   // drops rows the planner can't count). Partial push: Spark keeps the
   // global Limit, we just stop planning chunks past it.
   override def pushLimit(n: Int): Boolean =
-    if (probes.isEmpty && pushed.isEmpty) { limit = Some(n); true } else false
+    if (probes.isEmpty && pushed.isEmpty && sample.isEmpty) {
+      limit = Some(n); true
+    } else false
   override def isPartiallyPushed: Boolean = true
 
   /** Translate an Aggregation into manifest-only answers, or None.
@@ -208,7 +225,10 @@ class GraftScanBuilder(path: String, options: CaseInsensitiveStringMap)
     * containment probe blocks pushdown (the manifest counts rows the probe
     * would drop). Returns (groupedBySource, agg columns). */
   private def translate(agg: Aggregation): Option[(Boolean, Seq[GraftAggCol])] = {
-    if (probes.nonEmpty || pushed.nonEmpty) return None
+    // a pushed sample blocks aggregate pushdown: the manifest counts ALL
+    // rows — a manifest-only count over a sampled scan would silently
+    // return the unsampled answer
+    if (probes.nonEmpty || pushed.nonEmpty || sample.isDefined) return None
     def col1(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
         case nr: NamedReference if nr.fieldNames.length == 1 =>
@@ -250,14 +270,16 @@ class GraftScanBuilder(path: String, options: CaseInsensitiveStringMap)
       new GraftSourceAggScan(path, cols, untilBatch)
     case Some(cols) => new GraftAggScan(path, cols, untilBatch)
     case None =>
-      new GraftScan(path, pushed, required, probes, limit, maxBatchesPerTrigger, untilBatch)
+      new GraftScan(path, pushed, required, probes, limit,
+        maxBatchesPerTrigger, untilBatch, sample)
   }
 }
 
 class GraftScan(path: String, pushed: Array[Filter], required: StructType,
                 tokenProbes: Array[Int], limit: Option[Int],
                 maxBatchesPerTrigger: Option[Int],
-                untilBatch: Option[Long] = None)
+                untilBatch: Option[Long] = None,
+                sample: Option[GraftSample] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning {
 
@@ -307,6 +329,9 @@ class GraftScan(path: String, pushed: Array[Filter], required: StructType,
     require(untilBatch.isEmpty,
       "untilBatch is a BATCH-read snapshot option; the incremental stream " +
         "has its own frontier semantics")
+    require(sample.isEmpty,
+      "TABLESAMPLE is a batch-read pushdown; sample the stream with " +
+        "Spark's own operator")
     new GraftMicroBatchStream(path, pushed, required, tokenProbes,
       maxBatchesPerTrigger)
   }
@@ -315,7 +340,8 @@ class GraftScan(path: String, pushed: Array[Filter], required: StructType,
       s"columns=[${required.fieldNames.mkString(", ")}]" +
       (if (tokenProbes.isEmpty) "" else s" containsToken=${tokenProbes.mkString(",")}") +
       limit.fold("")(n => s" limit=$n") +
-      untilBatch.fold("")(n => s" untilBatch=$n")
+      untilBatch.fold("")(n => s" untilBatch=$n") +
+      sample.fold("")(s => s" sample=[${s.lower},${s.upper}) seed=${s.seed}")
 
   // ONE (bounded) driver-side planning pass, shared by estimateStatistics
   // (optimization time) and planInputPartitions (physical planning): dirs
@@ -444,9 +470,10 @@ class GraftScan(path: String, pushed: Array[Filter], required: StructType,
     bucketing match {
       case Some(n) =>
         GraftPlanning.packBucketed(SparkSession.active, rows, dicts,
-          tokenProbes, n)
+          tokenProbes, n, sample)
       case None =>
-        GraftPlanning.pack(SparkSession.active, rows, dicts, tokenProbes)
+        GraftPlanning.pack(SparkSession.active, rows, dicts, tokenProbes,
+          sample)
     }
   }
 
@@ -463,9 +490,36 @@ class GraftScan(path: String, pushed: Array[Filter], required: StructType,
   * survive scale: 100 TB is ~100M chunks, and even locally the per-task
   * overhead (~1 ms) dwarfed the decode once chunk counts hit the
   * thousands. Packing follows Spark's own FilePartition policy. */
+/** Pushed TABLESAMPLE: Bernoulli row selection as a PURE FUNCTION of
+  * (chunk_id, row index, seed) — no RNG state, so the sample is
+  * byte-identical at any parallelism, task packing, or re-run, and a
+  * chunk whose rows are ALL unselected is provably skippable before any
+  * I/O (computable from the manifest's chunk_id + n_rows alone). */
+final case class GraftSample(lower: Double, upper: Double, seed: Long) {
+  def selected(chunkId: Long, rowIdx: Int): Boolean = {
+    // splitmix64 over the three identities -> uniform double in [0, 1)
+    var z = chunkId ^ (rowIdx.toLong * 0x9E3779B97F4A7C15L) ^
+      java.lang.Long.rotateLeft(seed, 17)
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    val u = (z >>> 11).toDouble / (1L << 53).toDouble
+    u >= lower && u < upper
+  }
+  /** Any selected row in a chunk of n rows? ~ns per row; lets the reader
+    * skip whole chunks without opening them (at fraction f and chunk size
+    * n, a share (1-f)^n of the table's chunks is never read at all). */
+  def anySelected(chunkId: Long, nRows: Int): Boolean = {
+    var r = 0
+    while (r < nRows) { if (selected(chunkId, r)) return true; r += 1 }
+    false
+  }
+}
+
 case class GraftInputPartition(dir: String, rows: Array[Lineage.ManifestRow],
                                dict: Option[Array[Byte]],
-                               probes: Array[Int] = Array.empty)
+                               probes: Array[Int] = Array.empty,
+                               sample: Option[GraftSample] = None)
     extends InputPartition
 
 /** The same task payload, carrying the bucket identity that makes it
@@ -785,7 +839,8 @@ private[spark] object GraftPlanning {
     * use it to observe pruning). */
   def pack(spark: SparkSession, rows: Array[(String, Lineage.ManifestRow)],
            dicts: Map[String, Option[Array[Byte]]],
-           probes: Array[Int]): Array[InputPartition] = {
+           probes: Array[Int],
+           sample: Option[GraftSample] = None): Array[InputPartition] = {
     if (rows.isEmpty) return Array.empty
     val maxBytesStr = spark.conf.get("graft.read.maxPartitionBytes",
       (128L * 1024 * 1024).toString)
@@ -803,7 +858,8 @@ private[spark] object GraftPlanning {
     val cur = scala.collection.mutable.ArrayBuffer.empty[Lineage.ManifestRow]
     var curBytes = 0L
     def flush(): Unit = if (cur.nonEmpty) {
-      out += GraftInputPartition(curDir, cur.toArray, dicts(curDir), probes)
+      out += GraftInputPartition(curDir, cur.toArray, dicts(curDir), probes,
+        sample)
       cur.clear(); curBytes = 0L
     }
     sorted.foreach { case (d, m) =>
@@ -828,11 +884,12 @@ private[spark] object GraftPlanning {
   def packBucketed(spark: SparkSession,
                    rows: Array[(String, Lineage.ManifestRow)],
                    dicts: Map[String, Option[Array[Byte]]],
-                   probes: Array[Int], n: Int): Array[InputPartition] =
+                   probes: Array[Int], n: Int,
+                   sample: Option[GraftSample] = None): Array[InputPartition] =
     rows.groupBy { case (_, m) => m.part_id % n }
       .toArray.sortBy(_._1)
       .flatMap { case (bucket, rs) =>
-        pack(spark, rs, dicts, probes).map {
+        pack(spark, rs, dicts, probes, sample).map {
           case g: GraftInputPartition => GraftBucketedInputPartition(g, bucket)
           case other => other // unreachable: pack emits GraftInputPartition
         }
@@ -1559,11 +1616,18 @@ class GraftColumnarReader(conf: Configuration, p: GraftInputPartition,
 
   /** Load the next non-empty chunk; false when the partition is drained. */
   private var curM: Lineage.ManifestRow = _ // provenance metadata source
+  private val samp = p.sample.orNull
 
   private def advance(): Boolean = {
     while (chunkIdx < p.rows.length) {
       val m = p.rows(chunkIdx)
       chunkIdx += 1
+      // pushed TABLESAMPLE: selection is a pure function of (chunk_id,
+      // row, seed), so a chunk with zero selected rows is skipped HERE —
+      // before any read (at fraction f, a (1-f)^n_rows share of chunks)
+      if (samp != null && !samp.anySelected(m.chunk_id, m.n_rows)) {
+        // skip without I/O
+      } else {
       val chunk =
         if (wantTok) Lineage.readChunk(conf, p.dir, m)
         else Lineage.readChunkMeta(conf, p.dir, m)
@@ -1575,6 +1639,7 @@ class GraftColumnarReader(conf: Configuration, p: GraftInputPartition,
       row = 0
       tokOff = 0
       if (cols.nRows > 0) return true
+      }
     }
     false
   }
@@ -1646,10 +1711,12 @@ class GraftColumnarReader(conf: Configuration, p: GraftInputPartition,
     // chunks: each chunk has its own flat token array and source dict)
     if (p.probes.isEmpty) {
       while (i < Cap && row < cols.nRows) {
-        childOff = fillRow(i, row, tokOff, childOff)
+        if (samp == null || samp.selected(curM.chunk_id, row)) {
+          childOff = fillRow(i, row, tokOff, childOff)
+          i += 1
+        }
         tokOff += cols.rowLens(row)
         row += 1
-        i += 1
       }
     } else {
       // exact residual containment filter on the FLAT array — no slices;
@@ -1658,7 +1725,8 @@ class GraftColumnarReader(conf: Configuration, p: GraftInputPartition,
         val len = cols.rowLens(row)
         val end = tokOff + len
         var k = 0
-        var all = true
+        // sample test first: cheaper than scanning the row's tokens
+        var all = samp == null || samp.selected(curM.chunk_id, row)
         while (k < p.probes.length && all) {
           val probe = p.probes(k)
           var j = tokOff
@@ -1695,16 +1763,28 @@ class GraftPartitionReader(conf: Configuration, p: GraftInputPartition,
   private val needTokens = ordinals.contains(1)
   private val needDocId = ordinals.contains(0)
   private val dict = p.dict.map(MetaDictCache.get).orNull
+  private val samp = p.sample.orNull
+  // pushed TABLESAMPLE on the row path: same (chunk_id, row, seed)
+  // selection as the columnar reader — whole-chunk skips before I/O, then
+  // a per-row-index admit on whatever iterator the projection chose
+  private def admits[T](m: Lineage.ManifestRow, rows: Iterator[T])
+      : Iterator[T] =
+    if (samp == null) rows
+    else rows.zipWithIndex.collect {
+      case (r, idx) if samp.selected(m.chunk_id, idx) => r
+    }
   private val it: Iterator[InternalRow] = p.rows.iterator.flatMap { m =>
-    if (p.probes.nonEmpty)
+    if (samp != null && !samp.anySelected(m.chunk_id, m.n_rows))
+      Iterator.empty // no selected row: skipped without any read
+    else if (p.probes.nonEmpty)
       // containment probes: EXACT row filter (pruning admitted this chunk
       // as a MAYBE) — the payload must decode regardless of projection
-      ChunkBuilder.open(Lineage.readChunk(conf, p.dir, m), dict)
+      admits(m, ChunkBuilder.open(Lineage.readChunk(conf, p.dir, m), dict))
         .filter(r => p.probes.forall(r.tokens.contains))
         .map(r => project(m, r.doc_id, r.tokens, r.n_tok, r.source))
     else {
       if (needTokens)
-        ChunkBuilder.open(Lineage.readChunk(conf, p.dir, m), dict)
+        admits(m, ChunkBuilder.open(Lineage.readChunk(conf, p.dir, m), dict))
           .map(r => project(m, r.doc_id, r.tokens, r.n_tok, r.source))
       else {
         // payload-free projection: readChunkMeta SEEKS past the payload —
@@ -1712,10 +1792,10 @@ class GraftPartitionReader(conf: Configuration, p: GraftInputPartition,
         // reads per chunk)
         val chunk = Lineage.readChunkMeta(conf, p.dir, m)
         if (needDocId)
-          ChunkBuilder.openSide(chunk, dict)
+          admits(m, ChunkBuilder.openSide(chunk, dict))
             .map { case (id, n, src) => project(m, id, null, n, src) }
         else // neither payload NOR the doc_id section (the dominant cost)
-          ChunkBuilder.openMeta(chunk)
+          admits(m, ChunkBuilder.openMeta(chunk))
             .map { case (src, n) => project(m, null, null, n, src) }
       }
     }
