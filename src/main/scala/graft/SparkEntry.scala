@@ -34,6 +34,7 @@ object SparkEntry {
     "graft_catalog" -> (EngineQueries.graftCatalog _),
     "graft_spj" -> (EngineQueries.graftSpj _),
     "graft_delete" -> (EngineQueries.graftDelete _),
+    "graft_update" -> (EngineQueries.graftUpdate _),
     "encode_expr" -> (EngineQueries.encodeExpr _),
     "token_stats" -> (EngineQueries.tokenStats _),
     "source_distinct_tokens" -> (EngineQueries.sourceDistinctTokens _),
@@ -126,6 +127,7 @@ object SparkEntry {
     // itself asserts the zero-join-exchange plan in-line)
     "graft_spj" -> EngineQueries.graftSpjSql,
     "graft_delete" -> EngineQueries.graftDeleteSql,
+    "graft_update" -> EngineQueries.graftUpdateSql,
     "seq_split" -> PackQueries.seqSplitSql,
     "seq_len_hist" -> PackQueries.seqLenHistSql,
     // packing is a sequential fold (not ANSI-SQL-expressible): pinned by an

@@ -598,6 +598,117 @@ object Lineage {
     DeleteStats(1, dropped, rewritten, copied, rowsDel)
   }
 
+  // ---- group replacement (row-level UPDATE/MERGE/DELETE rewrites) -----------
+  /** The table's shared meta dictionary bytes, if trained (the encoding
+    * context every rewrite of this table must reuse — chunks written with
+    * a different dict would decode wrong). */
+  private[graft] def sharedDictBytes(fs: FileSystem,
+                                     dir: String): Option[Array[Byte]] = {
+    val p = new Path(s"$dir/_lineage/_shared_dict.bin")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val len = fs.getFileStatus(p).getLen
+        if (len > Int.MaxValue) throw graft.codec.CorruptException(
+          s"shared dict implausibly large: $len bytes")
+        val buf = new Array[Byte](len.toInt)
+        in.readFully(buf)
+        Some(buf)
+      } finally in.close()
+    }
+  }
+
+  /** Executor-side staging for ONE replacement group (lineage partition):
+    * chunks append to a `.replace.inprogress-<attempt>` data file; nothing
+    * becomes visible until the driver's `swapInGroup` renames it under the
+    * next generation. Manifest rows carry gen=0 placeholders — the swap
+    * stamps the real generation (only the driver, holding the listing,
+    * knows it). */
+  private[graft] final class GroupStager(fs: FileSystem, dir: String,
+                                         pid: Int, attempt: String) {
+    private val staged =
+      new Path(s"$dir/data/${pn(math.max(pid, 0))}.replace.inprogress-$attempt")
+    private val rows = new scala.collection.mutable.ArrayBuffer[ManifestRow]()
+    private var offset = 0L
+    private var out: org.apache.hadoop.fs.FSDataOutputStream = _
+
+    def add(c: EncodedChunk): Unit = {
+      if (out == null) out = fs.create(staged, true)
+      val rec = frameChunk(c)
+      out.write(rec)
+      rows += ManifestRow(c.part_id, c.seq, c.chunk_id, c.codec, c.n_rows,
+        c.n_tokens, c.raw_bytes, c.enc_bytes, c.crc32, offset,
+        rec.length.toLong, c.min_doc_id, c.max_doc_id, c.min_tok,
+        c.max_tok, c.tok_set, c.src_stats)
+      offset += rec.length
+    }
+
+    /** Close and return (staged path, manifest rows); None when no chunk
+      * was ever added (the staged file, if any, is removed). */
+    def finish(): Option[(String, Seq[ManifestRow])] = {
+      if (out != null) out.close()
+      if (rows.isEmpty) { fs.delete(staged, false); None }
+      else Some((staged.toString, rows.toSeq))
+    }
+    def abort(): Unit = {
+      if (out != null) out.close()
+      fs.delete(staged, false): Unit
+    }
+  }
+
+  private[graft] def maxCommittedGen(fs: FileSystem, dir: String,
+                                     pid: Int): Option[Int] =
+    fs.listStatus(new Path(s"$dir/_lineage"))
+      .iterator.map(_.getPath.getName)
+      .flatMap(manifestPidGen(_))
+      .collect { case (p, g) if p == pid => g }
+      .maxOption
+
+  /** Driver-side commit of one replacement group: the staged data file
+    * (or an EMPTY one — the group's rows were all deleted) becomes the
+    * partition's next generation, atomic at the manifest rename, exactly
+    * the DELETE rewrite's discipline; every older generation is retired
+    * after the swap. `rows` get the new generation and `pid` stamped. */
+  private[graft] def swapInGroup(fs: FileSystem, dir: String, pid: Int,
+                                 staged: Option[String],
+                                 rows: Seq[ManifestRow]): Unit = {
+    val newGen = maxCommittedGen(fs, dir, pid).map(_ + 1).getOrElse(0)
+    val dataFinal = dataPath(dir, pid, newGen)
+    if (fs.exists(dataFinal)) fs.delete(dataFinal, false) // dead prior attempt
+    staged match {
+      case Some(s) =>
+        if (!fs.rename(new Path(s), dataFinal))
+          throw new java.io.IOException(s"rename failed: $s -> $dataFinal")
+      case None => fs.create(dataFinal, true).close() // emptied group
+    }
+    val attempt = java.util.UUID.randomUUID().toString
+    val mTmp = new Path(
+      s"$dir/_lineage/${pn(pid)}${genSfx(newGen)}.json.inprogress-$attempt")
+    val mOut = fs.create(mTmp, true)
+    // part_id (and therefore chunk_id = pid<<32|seq) is stamped HERE: a
+    // MERGE-inserted group's pid is only decided at commit. The manifest
+    // is authoritative for identity; the frame-embedded ids are advisory
+    rows.foreach(r => mOut.write(
+      (manifestJson(r.copy(part_id = pid,
+        chunk_id = (pid.toLong << 32) | (r.seq.toLong & 0xffffffffL),
+        gen = newGen)) + "\n").getBytes("UTF-8")))
+    mOut.close()
+    val mFinal = manifestPath(dir, pid, newGen)
+    if (fs.exists(mFinal)) fs.delete(mFinal, false) // dead prior attempt
+    if (!fs.rename(mTmp, mFinal)) // commit point
+      throw new java.io.IOException(s"rename failed: $mTmp -> $mFinal")
+    // retire every superseded generation (manifest first)
+    fs.listStatus(new Path(s"$dir/_lineage")).map(_.getPath.getName)
+      .flatMap(manifestPidGen(_))
+      .foreach { case (p, g) =>
+        if (p == pid && g < newGen) {
+          fs.delete(manifestPath(dir, pid, g), false)
+          fs.delete(dataPath(dir, pid, g), false)
+        }
+      }
+  }
+
   final case class VacuumStats(inprogressRemoved: Long,
                                supersededRemoved: Long,
                                orphanDataRemoved: Long)

@@ -547,6 +547,56 @@ object EngineQueries {
         |FROM graftdel.q.corpus GROUP BY source ORDER BY source""".stripMargin)
   }
 
+  /** The r6 row-level UPDATE + MERGE INTO through the hard channel
+    * (group-based copy-on-write rewrite: runtime group filtering reads
+    * and rewrites ONLY the partitions holding matching rows): re-source
+    * two fixed docs via UPDATE, MERGE one new doc in, roll up per
+    * source. DuckDB pins the values by applying the same edits in SQL.
+    * Idempotent end-to-end: the encode RESUMES, the UPDATE re-applies
+    * the same value, and the MERGE's inserted doc matches on later runs
+    * (WHEN MATCHED updates it to the identical content). */
+  def graftUpdate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n = math.min(rowsForDir(dir), 5000L)
+    val ds = graft.io.CorpusTable.table(s, n)
+      .select(col("doc_id"), col("tokens"), col("n_tok"), col("source"))
+      .as[SeqRow]
+    val base =
+      s"${sys.props("java.io.tmpdir")}/graft_upd_q_n${n}_v${EngineQueries.codeFingerprint}"
+    Lineage.encodeToDir(ds, s"$base/t",
+      EncoderConfig(chunkTokens = 1 << 17, numPartitions = 4))
+    s.conf.set("spark.sql.catalog.graftupd", classOf[graft.spark.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftupd.root", s"$base/cat")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graftupd.q")
+    s.sql(s"CREATE TABLE IF NOT EXISTS graftupd.q.corpus USING graft LOCATION '$base/t'")
+    s.sql(
+      """UPDATE graftupd.q.corpus SET source = 'curated'
+        |WHERE doc_id IN ('doc-000000000007', 'doc-000000000123')""".stripMargin)
+    s.sql(
+      """MERGE INTO graftupd.q.corpus t
+        |USING (SELECT 'zzz-merged-00001' AS doc_id, array(1, 2, 3) AS tokens,
+        |         3 AS n_tok, 'merged' AS source) s
+        |ON t.doc_id = s.doc_id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    s.sql(
+      """SELECT source, count(*) AS n_rows, sum(n_tok) AS n_tokens,
+        |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+        |FROM graftupd.q.corpus GROUP BY source ORDER BY source""".stripMargin)
+  }
+
+  val graftUpdateSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, n_tok,
+      |    CASE WHEN doc_id IN ('doc-000000000007', 'doc-000000000123')
+      |         THEN 'curated' ELSE source END AS source
+      |  FROM read_parquet('/root/repo/data/oracle/corpus_n5000.parquet/*.parquet')
+      |  UNION ALL SELECT 'zzz-merged-00001', 3, 'merged'
+      |)
+      |SELECT source, count(*) AS n_rows, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+      |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+      |FROM t GROUP BY source ORDER BY source""".stripMargin
+
   val graftDeleteSql: String =
     """SELECT source, count(*) AS n_rows, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
       |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id

@@ -105,7 +105,8 @@ object GraftTable {
 class GraftTable(path: String) extends Table
     with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
-    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   override def metadataColumns()
       : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
     GraftTable.MetaCols
@@ -121,12 +122,21 @@ class GraftTable(path: String) extends Table
     new GraftWriteBuilder(path, info)
   // DELETE FROM ... WHERE ...: copy-on-write over the lineage dir — see
   // GraftDelete (classification) and Lineage.deleteRewrite (generational
-  // per-partition rewrite, atomic at the manifest rename)
+  // per-partition rewrite, atomic at the manifest rename). Spark rewrites
+  // every DML statement through the row-level plan first and then
+  // OptimizeMetadataOnlyDeleteFromTable converts a DELETE back to this
+  // fast path whenever canDeleteWhere accepts the predicates.
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     GraftDelete.deletable(filters)
   override def deleteWhere(filters: Array[Filter]): Unit = {
     GraftDelete.run(SparkSession.active, path, filters): Unit
   }
+  // UPDATE / MERGE INTO / arbitrary-predicate DELETE: group-based
+  // copy-on-write rewrite, group = lineage partition (GraftRowLevel.scala)
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new GraftRowLevelOperation(path, info.command)
 }
 
 /** Which manifest-only aggregates a pushed Aggregation wants, in output
@@ -137,7 +147,8 @@ private[spark] case object AggMinDocId extends GraftAggCol
 private[spark] case object AggMaxDocId extends GraftAggCol
 private[spark] case object AggSumNTok extends GraftAggCol
 
-class GraftScanBuilder(path: String, options: CaseInsensitiveStringMap)
+class GraftScanBuilder(path: String, options: CaseInsensitiveStringMap,
+                       rowLevel: Boolean = false)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit
@@ -271,7 +282,7 @@ class GraftScanBuilder(path: String, options: CaseInsensitiveStringMap)
     case Some(cols) => new GraftAggScan(path, cols, untilBatch)
     case None =>
       new GraftScan(path, pushed, required, probes, limit,
-        maxBatchesPerTrigger, untilBatch, sample)
+        maxBatchesPerTrigger, untilBatch, sample, rowLevel)
   }
 }
 
@@ -279,7 +290,8 @@ class GraftScan(path: String, pushed: Array[Filter], required: StructType,
                 tokenProbes: Array[Int], limit: Option[Int],
                 maxBatchesPerTrigger: Option[Int],
                 untilBatch: Option[Long] = None,
-                sample: Option[GraftSample] = None)
+                sample: Option[GraftSample] = None,
+                rowLevel: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning {
 
@@ -290,8 +302,23 @@ class GraftScan(path: String, pushed: Array[Filter], required: StructType,
   // pruning for an equi-join, the way file sources prune partitions
   @volatile private var runtime: Array[Filter] = Array.empty
   @volatile private[spark] var lastPlannedChunks: Int = -1 // spec observability
+  // the groups (lineage partitions) the LAST planning pass covered, post
+  // runtime filtering — the row-level (UPDATE/MERGE/DELETE rewrite) write
+  // replaces exactly this set
+  @volatile private[spark] var lastPlannedPartIds: Set[Int] = Set.empty
+  // Normal reads runtime-filter on doc_id (join DPP). A ROW-LEVEL rewrite
+  // scan filters on _part_id instead: Spark's runtime GROUP filtering runs
+  // the condition once and delivers the matching groups here, so only
+  // affected partitions are read and rewritten — and NOT doc_id, because a
+  // broad UPDATE's distinct-doc_id IN-set could be the whole table while
+  // the group set stays small
   override def filterAttributes(): Array[NamedReference] =
-    Array(org.apache.spark.sql.connector.expressions.Expressions.column("doc_id"))
+    if (rowLevel)
+      Array(org.apache.spark.sql.connector.expressions.Expressions
+        .column("_part_id"))
+    else
+      Array(org.apache.spark.sql.connector.expressions.Expressions
+        .column("doc_id"))
   override def filter(filters: Array[Filter]): Unit = runtime = filters
 
   /** Zone-test the runtime filters against one chunk. Unknown filter
@@ -301,6 +328,12 @@ class GraftScan(path: String, pushed: Array[Filter], required: StructType,
                             sortedIn: Map[Int, IndexedSeq[String]]): Boolean =
     runtime.indices.forall { i =>
       runtime(i) match {
+        case In("_part_id", vs) => // exact group test, not a zone bound
+          vs.exists {
+            case n: Number => n.intValue == m.part_id
+            case _ => true // unknown element shape: keep (never prune blind)
+          }
+        case EqualTo("_part_id", v: Number) => v.intValue == m.part_id
         case In("doc_id", _) =>
           ZonePrune.anyInRange(sortedIn(i), m.min_doc_id, m.max_doc_id)
         case EqualTo("doc_id", v: String) =>
@@ -348,9 +381,26 @@ class GraftScan(path: String, pushed: Array[Filter], required: StructType,
   // resolved, manifests unioned and zone-map/sketch pruned in one Spark job
   private lazy val resolvedDirs: Seq[String] =
     GraftPlanning.resolveReadDirs(SparkSession.active, path, untilBatch)
-  private lazy val planned: Array[(String, Lineage.ManifestRow)] =
-    GraftPlanning.prunedManifest(SparkSession.active, resolvedDirs, pushed,
-      tokenProbes)
+  private lazy val planned: Array[(String, Lineage.ManifestRow)] = {
+    val pruned = GraftPlanning.prunedManifest(SparkSession.active,
+      resolvedDirs, pushed, tokenProbes)
+    // ROW-LEVEL rewrite scans (UPDATE/MERGE/DELETE copy-on-write): pushed
+    // filters may prune at GROUP granularity ONLY — the scan's output IS
+    // the replacement content of every group it keeps, so dropping an
+    // unmatching chunk of a kept group would silently delete its rows.
+    // Expand the chunk-pruned set back to FULL groups: a group survives
+    // pruning iff any of its chunks admitted the filters.
+    if (!rowLevel || pruned.length == plannedAll.length) pruned
+    else {
+      val keep = pruned.iterator.map { case (d, m) => (d, m.part_id) }.toSet
+      plannedAll.filter { case (d, m) => keep((d, m.part_id)) }
+    }
+  }
+  // the unpruned manifest (row-level group expansion needs the full
+  // chunk set of admitted groups; lazily read only when pruning bit)
+  private lazy val plannedAll: Array[(String, Lineage.ManifestRow)] =
+    GraftPlanning.prunedManifest(SparkSession.active, resolvedDirs,
+      Array.empty, Array.empty)
 
   /** Storage-partitioned-join eligibility: Some(n) when EVERY dir this scan
     * covers carries a valid `_graft_buckets` layout marker with the SAME n
@@ -430,9 +480,16 @@ class GraftScan(path: String, pushed: Array[Filter], required: StructType,
       if (want("n_tok")) b += 4L * m.n_rows
       bytes += b
     }
+    // a pushed TABLESAMPLE keeps an expected (upper-lower) share of every
+    // row independently: scale both estimates so a sampled big table can
+    // BROADCAST — the whole point of sampling it (still errs high: ceil,
+    // and the per-row overheads above already over-estimate)
+    val frac = sample.map(s => s.upper - s.lower).getOrElse(1.0)
     new Statistics {
-      override def sizeInBytes(): OptionalLong = OptionalLong.of(bytes)
-      override def numRows(): OptionalLong = OptionalLong.of(rows)
+      override def sizeInBytes(): OptionalLong =
+        OptionalLong.of(math.ceil(bytes * frac).toLong.max(1L))
+      override def numRows(): OptionalLong =
+        OptionalLong.of(math.ceil(rows * frac).toLong)
     }
   }
 
@@ -467,6 +524,7 @@ class GraftScan(path: String, pushed: Array[Filter], required: StructType,
       case None => afterRuntime
     }
     lastPlannedChunks = rows.length
+    lastPlannedPartIds = rows.iterator.map(_._2.part_id).toSet
     bucketing match {
       case Some(n) =>
         GraftPlanning.packBucketed(SparkSession.active, rows, dicts,

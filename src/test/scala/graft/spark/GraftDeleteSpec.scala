@@ -165,19 +165,21 @@ class GraftDeleteSpec extends AnyFunSuite {
       s"append should land at a fresh part id: ${names.toSeq}")
   }
 
-  test("unsupported predicates refuse loudly; stream trees refuse DELETE") {
+  test("untranslatable predicates route through the row-level rewrite; " +
+      "stream trees refuse DELETE") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-del-no").toString
     Lineage.encodeToDir(spark.createDataset(mkRows(60)), dir,
       EncoderConfig(chunkTokens = 1 << 10, numPartitions = 1))
     spark.sql(s"CREATE TABLE gdel.q.n USING graft LOCATION '$dir'")
-    val e = intercept[Exception] {
-      spark.sql("DELETE FROM gdel.q.n WHERE array_contains(tokens, 5)")
-    }
-    // Spark refuses before reaching the source: the predicate has no
-    // source-filter translation (and canDeleteWhere would refuse it too)
-    assert(e.getMessage.toLowerCase.contains("translate"), e.getMessage)
-    assert(spark.table("gdel.q.n").count() == 60) // untouched after refusal
+    // canDeleteWhere refuses array_contains (no metadata classification),
+    // so Spark falls back to the group-based copy-on-write rewrite —
+    // exact removal, no refusal (GraftRowLevelSpec covers the mechanics)
+    spark.sql("DELETE FROM gdel.q.n WHERE array_contains(tokens, 999)")
+    assert(spark.table("gdel.q.n").count() == 60) // token 999 never occurs
+    val withTok = mkRows(60).count(_.tokens.contains(5))
+    spark.sql("DELETE FROM gdel.q.n WHERE array_contains(tokens, 5)")
+    assert(spark.table("gdel.q.n").count() == 60L - withTok)
 
     // a batch tree (streaming-sink layout) refuses DELETE by design
     val tree = java.nio.file.Files.createTempDirectory("graft-del-tree").toString

@@ -110,6 +110,30 @@ class GraftSampleSpec extends AnyFunSuite {
     assert(wr.count() > 0)
   }
 
+  test("sampled-scan statistics scale with the fraction: a sampled big " +
+      "table broadcasts where the unsampled one shuffles") {
+    val dir = mkTable(5000)
+    val t = spark.read.format("graft").load(dir)
+    val full = t.queryExecution.optimizedPlan.stats.sizeInBytes
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.enabled")
+    val old = keys.map(k => k -> spark.conf.getOption(k))
+    // threshold between the 1% estimate and the full estimate
+    keys.zip(Seq((full / 10).toString, "false"))
+      .foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      def join(left: org.apache.spark.sql.DataFrame) =
+        t.join(left.select(col("doc_id").as("rid")), col("doc_id") === col("rid"))
+          .queryExecution.executedPlan.toString
+      assert(!join(t).contains("BroadcastHashJoin"), join(t))
+      val sampled = join(t.sample(0.01, 3L))
+      assert(sampled.contains("BroadcastHashJoin"), sampled)
+    } finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("anySelected agrees with per-row selection (the whole-chunk skip " +
       "can never drop a selected row)") {
     val s = GraftSample(0.0, 0.003, 99L)
