@@ -657,11 +657,16 @@ object Lineage {
     }
   }
 
+  /** All committed (pid, gen) pairs — ONE listing; pass to `swapInGroup`
+    * so a broad rewrite of many groups costs one RPC, not one per group. */
+  private[graft] def committedPidGens(fs: FileSystem,
+                                      dir: String): Array[(Int, Int)] =
+    fs.listStatus(new Path(s"$dir/_lineage"))
+      .flatMap(s => manifestPidGen(s.getPath.getName))
+
   private[graft] def maxCommittedGen(fs: FileSystem, dir: String,
                                      pid: Int): Option[Int] =
-    fs.listStatus(new Path(s"$dir/_lineage"))
-      .iterator.map(_.getPath.getName)
-      .flatMap(manifestPidGen(_))
+    committedPidGens(fs, dir)
       .collect { case (p, g) if p == pid => g }
       .maxOption
 
@@ -672,8 +677,12 @@ object Lineage {
     * after the swap. `rows` get the new generation and `pid` stamped. */
   private[graft] def swapInGroup(fs: FileSystem, dir: String, pid: Int,
                                  staged: Option[String],
-                                 rows: Seq[ManifestRow]): Unit = {
-    val newGen = maxCommittedGen(fs, dir, pid).map(_ + 1).getOrElse(0)
+                                 rows: Seq[ManifestRow],
+                                 pidGens: Option[Array[(Int, Int)]] = None)
+      : Unit = {
+    val committed = pidGens.getOrElse(committedPidGens(fs, dir))
+    val newGen = committed.collect { case (p, g) if p == pid => g }
+      .maxOption.map(_ + 1).getOrElse(0)
     val dataFinal = dataPath(dir, pid, newGen)
     if (fs.exists(dataFinal)) fs.delete(dataFinal, false) // dead prior attempt
     staged match {
@@ -698,15 +707,14 @@ object Lineage {
     if (fs.exists(mFinal)) fs.delete(mFinal, false) // dead prior attempt
     if (!fs.rename(mTmp, mFinal)) // commit point
       throw new java.io.IOException(s"rename failed: $mTmp -> $mFinal")
-    // retire every superseded generation (manifest first)
-    fs.listStatus(new Path(s"$dir/_lineage")).map(_.getPath.getName)
-      .flatMap(manifestPidGen(_))
-      .foreach { case (p, g) =>
-        if (p == pid && g < newGen) {
-          fs.delete(manifestPath(dir, pid, g), false)
-          fs.delete(dataPath(dir, pid, g), false)
-        }
+    // retire every superseded generation (manifest first); the listing
+    // came from before this swap, which is exactly the set to retire
+    committed.foreach { case (p, g) =>
+      if (p == pid && g < newGen) {
+        fs.delete(manifestPath(dir, pid, g), false)
+        fs.delete(dataPath(dir, pid, g), false)
       }
+    }
   }
 
   final case class VacuumStats(inprogressRemoved: Long,

@@ -138,18 +138,21 @@ class GraftReplaceDataWrite(path: String, schema: StructType,
     val groups = messages.collect {
       case GraftReplaceCommitMessage(Some(g)) => g
     }.sortBy(_.sparkPartition)
+    // ONE listing drives every swap (a broad rewrite must not pay one
+    // listing RPC per group): fresh pids don't collide with it and the
+    // retired groups' generations are exactly its view
+    val pidGens = Lineage.committedPidGens(fs, path)
     // fresh part ids strictly past everything committed: appended first
     // (add-then-retire — a crash mid-commit duplicates, never loses)
-    val base = fs.listStatus(new Path(s"$path/_lineage"))
-      .flatMap(s => Lineage.manifestPidGen(s.getPath.getName))
-      .map(_._1).maxOption.map(_ + 1).getOrElse(0)
+    val base = pidGens.map(_._1).maxOption.map(_ + 1).getOrElse(0)
     groups.zipWithIndex.foreach { case (g, i) =>
-      Lineage.swapInGroup(fs, path, base + i, Some(g.staged), g.rows)
+      Lineage.swapInGroup(fs, path, base + i, Some(g.staged), g.rows,
+        Some(pidGens))
     }
     // retire every scanned group: its surviving rows now live in the
     // fresh partitions; an empty next generation supersedes it
     retired.toSeq.sorted.foreach { pid =>
-      Lineage.swapInGroup(fs, path, pid, None, Seq.empty)
+      Lineage.swapInGroup(fs, path, pid, None, Seq.empty, Some(pidGens))
     }
     // survivors moved partitions: hash placement no longer holds
     Lineage.clearBucketMarker(fs, path)
