@@ -374,7 +374,8 @@ class GraftScan(path: String, pushed: Array[Filter], required: StructType,
       (if (tokenProbes.isEmpty) "" else s" containsToken=${tokenProbes.mkString(",")}") +
       limit.fold("")(n => s" limit=$n") +
       untilBatch.fold("")(n => s" untilBatch=$n") +
-      sample.fold("")(s => s" sample=[${s.lower},${s.upper}) seed=${s.seed}")
+      sample.fold("")(s => s" sample=[${s.lower},${s.upper}) seed=${s.seed}") +
+      (if (rowLevel) " rowLevel=true" else "")
 
   // ONE (bounded) driver-side planning pass, shared by estimateStatistics
   // (optimization time) and planInputPartitions (physical planning): dirs
