@@ -78,24 +78,40 @@ object Lineage {
     fs0.mkdirs(new Path(s"$dir/data"))
     fs0.mkdirs(new Path(s"$dir/_lineage"))
 
-    // One shared meta dictionary per TABLE dir (trained on the first run,
-    // read back on every later one): chunks code their doc_id section
-    // against it instead of each training a private table — the
-    // cross-stream PPMd-ism (one model amortized over many writes) at the
-    // storage layer, without any cross-task coupling.
-    val cfgEnc = cfg.copy(sharedMetaDict = Some(sharedDictFor(ds, fs0, dir)))
-
     // bucket-layout marker: a FRESH table's layout is exactly
     // pmod(murmur3_42(doc_id), numPartitions) by construction (arrange's
     // deterministic repartition below). On a table with committed
     // partitions the marker survives only when this run's arrangement
     // matches it — a re-run with a different count would otherwise keep
     // advertising a bucketing the files no longer have.
-    val hasCommitted = fs0.listStatus(new Path(s"$dir/_lineage"))
+    val lineageListing = fs0.listStatus(new Path(s"$dir/_lineage"))
+    val hasCommitted = lineageListing
       .exists(_.getPath.getName.endsWith(".json"))
     if (!hasCommitted) writeBucketMarker(fs0, dir, cfg.numPartitions)
     else if (!readBucketMarker(fs0, dir).contains(cfg.numPartitions))
       clearBucketMarker(fs0, dir)
+
+    // RESUME SHORT-CIRCUIT: when every partition this run would produce
+    // (0 until numPartitions — arrange's repartition fixes the pid domain)
+    // is already committed at SOME generation, the job below is a provable
+    // no-op: every task would find committer.alreadyDone and skip. Answer
+    // from the listing already in hand instead of scheduling a full
+    // regenerate+shuffle of the dataset — at bench scale this is the whole
+    // fixed cost of a resumed encode; at 100 TB it is a full table read
+    // avoided. (A gen>0 manifest counts as committed, exactly like
+    // PartitionCommitter.alreadyDone — a DELETE-rewritten partition must
+    // never be re-encoded.)
+    val committedPids: Set[Int] = lineageListing.iterator
+      .flatMap(f => manifestPidGen(f.getPath.getName)).map(_._1).toSet
+    if ((0 until cfg.numPartitions).forall(committedPids.contains))
+      return 0L
+
+    // One shared meta dictionary per TABLE dir (trained on the first run,
+    // read back on every later one): chunks code their doc_id section
+    // against it instead of each training a private table — the
+    // cross-stream PPMd-ism (one model amortized over many writes) at the
+    // storage layer, without any cross-task coupling.
+    val cfgEnc = cfg.copy(sharedMetaDict = Some(sharedDictFor(ds, fs0, dir)))
 
     val arranged = Encoder.arrange(ds, cfgEnc) // deterministic across runs
 
@@ -479,7 +495,8 @@ object Lineage {
     * chunked re-encode framing). */
   def deleteRewrite(spark: SparkSession, dir: String,
                     classify: ManifestRow => Int,
-                    pred: SeqRow => Boolean): DeleteStats = {
+                    pred: SeqRow => Boolean,
+                    onlyPids: Option[Set[Int]] = None): DeleteStats = {
     val hconf = new SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val fs0 = FileSystem.get(new java.net.URI(dir), hconf.value)
@@ -488,8 +505,15 @@ object Lineage {
         s"DELETE needs a plain graft lineage table; $dir has none. " +
           "Streaming batch trees refuse DELETE by design: untilBatch " +
           "snapshots treat committed batches as immutable history.")
+    // `onlyPids`: a driver-side prefilter (cached-manifest classification —
+    // GraftDelete) already PROVED every other partition all-Keep; schedule
+    // only the partitions that can change. Tasks re-read and re-classify
+    // their own manifest, so a stale whitelist can only cost a no-op task,
+    // never a wrong skip — soundness rests on the classifier, which is the
+    // same function evaluated over the same committed manifest rows.
     val work = manifestFiles(fs0, dir).map(_.getPath.getName)
       .flatMap(n => manifestPidGen(n).map { case (pid, gen) => (n, pid, gen) })
+      .filter { case (_, pid, _) => onlyPids.forall(_.contains(pid)) }
       .toIndexedSeq
     if (work.isEmpty) return DeleteStats(0, 0, 0, 0, 0)
     val dict = loadSharedDict(spark, dir)
@@ -717,6 +741,113 @@ object Lineage {
     }
   }
 
+  // ---- replace-commit intent (row-level UPDATE/MERGE crash recovery) -------
+  /** The row-level (ReplaceData) commit is add-then-retire; a crash between
+    * the fresh-group swaps and the retirement of the scanned groups would
+    * otherwise leave the survivors duplicated FOREVER (vacuum cannot tell a
+    * half-retired rewrite from live data, and re-running the DML rewrites
+    * both copies). The intent file closes that hole: written atomically
+    * BEFORE the first swap, listing the fresh pids about to be added and
+    * the scanned pids to retire; deleted only after the last retirement.
+    * Recovery (`recoverReplaceIntent` — run by vacuum and by the next
+    * row-level commit) decides by inspection:
+    *   - every fresh pid committed  -> ROLL FORWARD: finish retiring (the
+    *     replacement rows are all live, so retiring the scanned groups is
+    *     exactly the dead commit's remaining work);
+    *   - any fresh pid missing      -> ROLL BACK: delete the fresh pids
+    *     that did land (they are brand-new partitions past every
+    *     pre-existing pid, so deleting them restores the pre-DML table).
+    * Both paths end by deleting the intent. Single-writer contract, same
+    * as DELETE/vacuum. */
+  private def replaceIntentPath(dir: String) =
+    new Path(s"$dir/_lineage/_replace_intent.json")
+
+  private[graft] def writeReplaceIntent(fs: FileSystem, dir: String,
+                                        fresh: Seq[Int],
+                                        retire: Seq[Int]): Unit = {
+    val json = s"""{"fresh":[${fresh.mkString(",")}],""" +
+      s""""retire":[${retire.mkString(",")}]}"""
+    val tmp = new Path(
+      s"$dir/_lineage/_replace_intent.json.inprogress-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    out.write(json.getBytes("UTF-8"))
+    out.close()
+    val p = replaceIntentPath(dir)
+    if (fs.exists(p)) fs.delete(p, false) // stale intent: recovered by caller
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"rename failed: $tmp -> $p")
+  }
+
+  private[graft] def clearReplaceIntent(fs: FileSystem, dir: String): Unit =
+    fs.delete(replaceIntentPath(dir), false): Unit
+
+  private def readReplaceIntent(fs: FileSystem,
+                                dir: String): Option[(Seq[Int], Seq[Int])] = {
+    val p = replaceIntentPath(dir)
+    if (!fs.exists(p)) return None
+    try {
+      val txt = new String(readAll(fs, p), "UTF-8")
+      val Pat = """\{"fresh":\[([0-9,]*)\],"retire":\[([0-9,]*)\]\}""".r
+      txt.trim match {
+        case Pat(f, r) =>
+          def ints(s: String): Seq[Int] =
+            if (s.isEmpty) Seq.empty else s.split(',').toSeq.map(_.toInt)
+          Some((ints(f), ints(r)))
+        case _ => None // unreadable: surfaced below, never silently dropped
+      }
+    } catch { case _: java.io.IOException => None }
+  }
+
+  /** Complete (or undo) a dead row-level commit — see writeReplaceIntent.
+    * No-op without an intent file. Returns true when an intent was found
+    * and resolved. */
+  def recoverReplaceIntent(fs: FileSystem, dir: String): Boolean = {
+    val p = replaceIntentPath(dir)
+    if (!fs.exists(p)) return false
+    readReplaceIntent(fs, dir) match {
+      case None =>
+        // garbled intent: refuse to guess — a wrong roll direction loses
+        // rows. Loud is the only safe behavior.
+        throw new java.io.IOException(
+          s"unreadable replace intent at $p; resolve manually")
+      case Some((fresh, retire)) =>
+        val committed = committedPidGens(fs, dir)
+        val byPid = committed.groupBy(_._1)
+        if (fresh.forall(byPid.contains)) {
+          // roll FORWARD: every replacement partition landed; finish the
+          // retirement of any scanned group still holding rows (an
+          // already-retired pid has an EMPTY manifest at its top gen —
+          // retiring it again would only stack empty generations)
+          retire.foreach { pid =>
+            byPid.get(pid).foreach { gens =>
+              val top = gens.map(_._2).max
+              val live = {
+                val in = fs.open(manifestPath(dir, pid, top))
+                try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+                  .exists(_.nonEmpty)
+                finally in.close()
+              }
+              if (live) swapInGroup(fs, dir, pid, None, Seq.empty,
+                Some(committed))
+            }
+          }
+        } else {
+          // roll BACK: the adds did not finish — delete the fresh pids
+          // that did land (brand-new partitions; removing them restores
+          // the pre-DML state exactly)
+          fresh.foreach { pid =>
+            byPid.getOrElse(pid, Array.empty[(Int, Int)]).foreach {
+              case (_, g) =>
+                fs.delete(manifestPath(dir, pid, g), false)
+                fs.delete(dataPath(dir, pid, g), false)
+            }
+          }
+        }
+        clearReplaceIntent(fs, dir)
+        true
+    }
+  }
+
   final case class VacuumStats(inprogressRemoved: Long,
                                supersededRemoved: Long,
                                orphanDataRemoved: Long)
@@ -743,6 +874,10 @@ object Lineage {
   def vacuum(conf: Configuration, dir: String,
              olderThanMs: Long = 24L * 3600 * 1000): VacuumStats = {
     val fs = FileSystem.get(new java.net.URI(dir), conf)
+    // a dead row-level commit first: its intent decides roll forward/back,
+    // and only after resolution are this sweep's superseded/orphan shapes
+    // unambiguous
+    if (fs.exists(new Path(s"$dir/_lineage"))) recoverReplaceIntent(fs, dir)
     val cutoff = System.currentTimeMillis() - olderThanMs
     var inprog = 0L; var superseded = 0L; var orphans = 0L
     def sweepInprogress(sub: String): Unit = {
@@ -768,19 +903,30 @@ object Lineage {
         if (fs.delete(manifestPath(dir, pid, g), false)) superseded += 1
         if (fs.delete(dataPath(dir, pid, g), false)) superseded += 1
     }
-    // abandoned gen>0 data files: no manifest at their gen or above
-    val DataName = """part-(\d+)\.g(\d+)\.graft""".r
+    // data files stranded by a crash: (a) ANY data file (gen 0 included)
+    // whose gen < the committed max for its pid is proven superseded — a
+    // higher generation COMMITTED, so this cannot be an in-flight first
+    // encode (a delete that died between fs.delete(oldManifest) and
+    // fs.delete(oldData) leaves exactly this shape, which the
+    // manifest-keyed sweep above cannot see); (b) gen>0 data with no
+    // manifest at its gen or above, older than the TTL — a delete that
+    // crashed between data rename and manifest rename (younger ones may
+    // be a live retry's property). Gen-0 data with NO committed
+    // generations at all stays: in-flight first encode, resume's property.
+    val DataName = """part-(\d+)(?:\.g(\d+))?\.graft""".r
     val ddir = new Path(s"$dir/data")
     if (fs.exists(ddir)) fs.listStatus(ddir).foreach { f =>
       f.getPath.getName match {
         case DataName(p, g) =>
-          val pid = p.toInt; val gen = g.toInt
-          if (maxGen.getOrElse(pid, -1) < gen && f.getModificationTime < cutoff) {
+          val pid = p.toInt
+          val gen = Option(g).map(_.toInt).getOrElse(0)
+          val mg = maxGen.getOrElse(pid, -1)
+          if (gen < mg) { fs.delete(f.getPath, false); superseded += 1 }
+          else if (gen > 0 && mg < gen && f.getModificationTime < cutoff) {
             fs.delete(f.getPath, false); orphans += 1
           }
         case _ =>
-          // gen-0 data (part-N.graft) is the encode resume protocol's
-          // property; foreign names are not ours to delete
+          // foreign names are not ours to delete
       }
     }
     VacuumStats(inprog, superseded, orphans)

@@ -211,9 +211,14 @@ object DedupQueries {
       .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .toDF("src", "dst")
       .cache()
+    // start one round ahead: label(id) = min(id, min neighbor id) is
+    // exactly what the first propagation round produced from the identity
+    // labeling, for the same one shuffle the old distinct() cost — the
+    // fixpoint (component minimum) is unchanged, the loop converges one
+    // round earlier
     var (labels, labelIds) = checkpointTracked(
-      edges.select(col("src").as("id")).distinct()
-        .withColumn("label", col("id")))
+      edges.groupBy(col("src").as("id"))
+        .agg(min(least(col("src"), col("dst"))).as("label")))
     // labels only ever DECREASE (min-propagation), so the label sum is a
     // strictly decreasing potential: unchanged sum == converged. One cheap
     // aggregate per round instead of a change-detection join.

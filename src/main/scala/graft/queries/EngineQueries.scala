@@ -122,8 +122,11 @@ object EngineQueries {
         (graft.codec.CodecId.name(c.codec.toByte), c.n_tokens,
           c.raw_bytes, c.payload.length.toLong, c.meta.length.toLong))
       .toDF("codec", "n_tokens", "raw_bytes", "payload_bytes", "meta_bytes")
-      .cache()
-    def agg(g: org.apache.spark.sql.RelationalGroupedDataset): DataFrame = g
+    // per-codec rows AND the grand total from ONE aggregation pass
+    // (ROLLUP's grouping-set total row, codec=null, IS the old "_total"
+    // union branch) — the encode feeds a single aggregate instead of being
+    // read twice through a cache
+    perChunk.rollup(col("codec"))
       .agg(count(lit(1)).as("n_chunks"),
         sum("n_tokens").as("n_tokens"),
         sum("raw_bytes").as("raw_bytes"),
@@ -131,10 +134,8 @@ object EngineQueries {
         sum("meta_bytes").as("meta_bytes"))
       .withColumn("payload_ratio",
         round(col("payload_bytes") / col("raw_bytes"), 4))
-    val hist = agg(perChunk.groupBy(col("codec")))
-    val total = agg(perChunk.withColumn("codec", lit("_total"))
-      .groupBy(col("codec")))
-    hist.unionByName(total).orderBy(col("codec"))
+      .withColumn("codec", coalesce(col("codec"), lit("_total")))
+      .orderBy(col("codec"))
   }
 
   /** Twin: per-codec rows from the pinned fixture (engine-specific sizes,

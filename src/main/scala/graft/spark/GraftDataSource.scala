@@ -390,8 +390,12 @@ class GraftScan(path: String, pushed: Array[Filter], required: StructType,
     // the replacement content of every group it keeps, so dropping an
     // unmatching chunk of a kept group would silently delete its rows.
     // Expand the chunk-pruned set back to FULL groups: a group survives
-    // pruning iff any of its chunks admitted the filters.
-    if (!rowLevel || pruned.length == plannedAll.length) pruned
+    // pruning iff any of its chunks admitted the filters. With no pushed
+    // filters and no probes, `pruned` IS the full manifest by construction
+    // — skip the second (full, unpruned) planning pass entirely instead of
+    // computing it just to compare lengths.
+    if (!rowLevel || (pushed.isEmpty && tokenProbes.isEmpty) ||
+        pruned.length == plannedAll.length) pruned
     else {
       val keep = pruned.iterator.map { case (d, m) => (d, m.part_id) }.toSet
       plannedAll.filter { case (d, m) => keep((d, m.part_id)) }
@@ -982,20 +986,45 @@ class GraftAggScan(path: String, cols: Seq[GraftAggCol],
         case AggCountRows => 0L
         case _            => null // SQL min/max/sum over zero rows
       }.toArray
-      else {
-        import org.apache.spark.sql.functions._
-        val mf = dirs.map(d => GraftPlanning.manifestDS(spark, d))
-          .reduce(_ union _)
-        val r = mf.agg(
-          coalesce(sum(col("n_rows").cast("long")), lit(0L)).as("c"),
-          min(col("min_doc_id")).as("mn"), max(col("max_doc_id")).as("mx"),
-          sum(col("n_tokens")).as("st")).collect()(0)
-        cols.map {
-          case AggCountRows => r.getLong(0): Any
-          case AggMinDocId  => if (r.isNullAt(1)) null else r.getString(1)
-          case AggMaxDocId  => if (r.isNullAt(2)) null else r.getString(2)
-          case AggSumNTok   => if (r.isNullAt(3)) null else r.getLong(3): Any
-        }.toArray
+      else GraftPlanning.localManifests(spark, dirs) match {
+        case Some(local) =>
+          // manifest cached driver-side: fold the aggregate in-process —
+          // zero Spark jobs at all (the distributed twin below is the
+          // 100-TB path; same null semantics, same UTF-8 binary string
+          // order — Utf8Order IS Spark's UTF8String comparison)
+          var c = 0L; var st = 0L; var any = false
+          var mn: String = null; var mx: String = null
+          local.foreach { case (_, rows) =>
+            rows.foreach { m =>
+              any = true
+              c += m.n_rows
+              st += m.n_tokens
+              if (mn == null || graft.engine.Utf8Order.lt(m.min_doc_id, mn))
+                mn = m.min_doc_id
+              if (mx == null || graft.engine.Utf8Order.gt(m.max_doc_id, mx))
+                mx = m.max_doc_id
+            }
+          }
+          cols.map {
+            case AggCountRows => c: Any
+            case AggMinDocId  => mn
+            case AggMaxDocId  => mx
+            case AggSumNTok   => if (any) st: Any else null
+          }.toArray
+        case None =>
+          import org.apache.spark.sql.functions._
+          val mf = dirs.map(d => GraftPlanning.manifestDS(spark, d))
+            .reduce(_ union _)
+          val r = mf.agg(
+            coalesce(sum(col("n_rows").cast("long")), lit(0L)).as("c"),
+            min(col("min_doc_id")).as("mn"), max(col("max_doc_id")).as("mx"),
+            sum(col("n_tokens")).as("st")).collect()(0)
+          cols.map {
+            case AggCountRows => r.getLong(0): Any
+            case AggMinDocId  => if (r.isNullAt(1)) null else r.getString(1)
+            case AggMaxDocId  => if (r.isNullAt(2)) null else r.getString(2)
+            case AggSumNTok   => if (r.isNullAt(3)) null else r.getLong(3): Any
+          }.toArray
       }
     Array(GraftAggPartition(values.map {
       case null      => null
@@ -1044,8 +1073,50 @@ class GraftSourceAggScan(path: String, cols: Seq[GraftAggCol],
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
     val dirs = GraftPlanning.resolveReadDirs(spark, path, untilBatch)
+    // driver-local fast path: manifest cached AND every chunk carries a
+    // decodable SrcStats blob — fold the per-source rollup in-process,
+    // zero Spark jobs (a single undecodable blob falls through to the
+    // distributed job, whose meta-read fallback handles mixed-era dirs)
+    val localGroups: Option[Array[(String, Long, Long)]] =
+      if (dirs.isEmpty) None
+      else GraftPlanning.localManifests(spark, dirs).flatMap { local =>
+        val agg = new java.util.TreeMap[String, Array[Long]]()
+        val ok = local.forall { case (_, rows) =>
+          rows.forall { m =>
+            graft.engine.SrcStats.decode(m.src_stats) match {
+              case Some(stats) =>
+                stats.foreach { case (src, r, t) =>
+                  var e = agg.get(src)
+                  if (e == null) { e = new Array[Long](2); agg.put(src, e) }
+                  e(0) += r; e(1) += t
+                }
+                true
+              case None => false
+            }
+          }
+        }
+        if (!ok) None
+        else {
+          import scala.jdk.CollectionConverters._
+          Some(agg.entrySet().iterator().asScala.map(e =>
+            (e.getKey, e.getValue()(0), e.getValue()(1))).toArray)
+        }
+      }
     val groups: Array[(String, Long, Long)] =
       if (dirs.isEmpty) Array.empty // GROUP BY over an empty tree: no rows
+      else if (localGroups.isDefined) {
+        val out = localGroups.get
+        // same loud bound as the distributed path (behavior parity)
+        val capStr = spark.conf.get("graft.agg.maxGroups", "1000000")
+        val cap = capStr.toIntOption.filter(_ > 0).getOrElse(
+          throw new IllegalArgumentException(
+            s"graft.agg.maxGroups must be a positive group count, got '$capStr'"))
+        if (out.length > cap) throw new IllegalStateException(
+          s"GROUP BY source pushdown over $path exceeds $cap groups; " +
+            "raise graft.agg.maxGroups or disable pushdown for this query")
+        lastMetaFallbackChunks = 0 // every blob decoded — no meta reads
+        out
+      }
       else {
         import spark.implicits._
         import org.apache.spark.sql.functions._

@@ -167,16 +167,23 @@ private[graft] object GraftDelete {
   def deleteIds(spark: SparkSession, path: String,
                 ids: org.apache.spark.sql.Dataset[String],
                 maxIdBytes: Long = 64L << 20): Lineage.DeleteStats = {
-    import org.apache.spark.sql.functions.{col, count, length, lit, sum}
-    val stats = ids.agg(count(lit(1)), sum(length(col(ids.columns.head))))
+    import org.apache.spark.sql.functions.{col, count, lit, octet_length, sum}
+    // the cap is measured on the DISTINCT set in actual UTF-8 bytes —
+    // that is the set collected and broadcast below, so a duplicate-heavy
+    // loser list (the natural dedup output) is not refused spuriously and
+    // multi-byte ids are not under-counted (ADVICE r6)
+    val distinctIds = ids.distinct()
+    val stats = distinctIds
+      .agg(count(lit(1)), sum(octet_length(col(ids.columns.head))))
       .collect()(0)
     val n = stats.getLong(0)
     val bytes = if (stats.isNullAt(1)) 0L else stats.getLong(1)
     require(bytes <= maxIdBytes,
-      s"takedown id set is $bytes bytes over $n ids (cap $maxIdBytes); " +
-        "split the delete by doc_id range, or raise maxIdBytes")
+      s"takedown id set is $bytes bytes over $n distinct ids " +
+        s"(cap $maxIdBytes); split the delete by doc_id range, or raise " +
+        "maxIdBytes")
     if (n == 0L) return Lineage.DeleteStats(0, 0, 0, 0, 0)
-    val sorted = ZonePrune.sortValues(ids.distinct().collect().toSeq)
+    val sorted = ZonePrune.sortValues(distinctIds.collect().toSeq)
     val set = sorted.toSet
     val classify: Lineage.ManifestRow => Int = { m =>
       if (m.min_doc_id == m.max_doc_id && set.contains(m.min_doc_id))
@@ -185,8 +192,30 @@ private[graft] object GraftDelete {
         Lineage.DeleteClass.Keep
       else Lineage.DeleteClass.Maybe
     }
-    Lineage.deleteRewrite(spark, path, classify, r => set.contains(r.doc_id))
+    Lineage.deleteRewrite(spark, path, classify, r => set.contains(r.doc_id),
+      affectedPids(spark, path, classify))
   }
+
+  /** Driver-side prefilter for the rewrite job: when the table's manifest
+    * is in the planning cache, classify every chunk HERE and whitelist only
+    * partitions holding a non-Keep chunk — a DELETE then schedules work
+    * proportional to the data it can change, not the table size (an all-
+    * Keep table schedules NOTHING). None (manifest past the local gate, or
+    * caching disabled) keeps the schedule-everything behavior — the 100-TB
+    * path still skips untouched partitions inside tasks after one manifest
+    * read each. Soundness: tasks re-classify from their own manifest read;
+    * the whitelist can only skip partitions the SAME classifier proves
+    * all-Keep over the SAME committed rows (single-writer contract). */
+  private def affectedPids(spark: SparkSession, path: String,
+                           classify: Lineage.ManifestRow => Int)
+      : Option[Set[Int]] =
+    // a missing/foreign table layout must surface deleteRewrite's OWN typed
+    // refusal, not a listing error from the prefilter — fall through on any
+    // problem (prefiltering is an optimization, never a gate)
+    try ManifestCache.rowsFor(spark, path).map { rows =>
+      rows.iterator.filter(m => classify(m) != Lineage.DeleteClass.Keep)
+        .map(_.part_id).toSet
+    } catch { case _: Exception => None }
 
   /** Execute the delete; returns the rewrite statistics. */
   def run(spark: SparkSession, path: String,
@@ -202,6 +231,7 @@ private[graft] object GraftDelete {
       else if (mays.exists(p => !p(m))) Lineage.DeleteClass.Keep
       else Lineage.DeleteClass.Maybe
     }
-    Lineage.deleteRewrite(spark, path, classify, pred)
+    Lineage.deleteRewrite(spark, path, classify, pred,
+      affectedPids(spark, path, classify))
   }
 }

@@ -138,13 +138,23 @@ class GraftReplaceDataWrite(path: String, schema: StructType,
     val groups = messages.collect {
       case GraftReplaceCommitMessage(Some(g)) => g
     }.sortBy(_.sparkPartition)
+    // a dead prior commit's intent resolves first (roll forward/back) so
+    // this listing sees a consistent table
+    Lineage.recoverReplaceIntent(fs, path)
     // ONE listing drives every swap (a broad rewrite must not pay one
     // listing RPC per group): fresh pids don't collide with it and the
     // retired groups' generations are exactly its view
     val pidGens = Lineage.committedPidGens(fs, path)
     // fresh part ids strictly past everything committed: appended first
-    // (add-then-retire — a crash mid-commit duplicates, never loses)
+    // (add-then-retire — a crash mid-commit duplicates only TRANSIENTLY:
+    // the intent below lets vacuum/the next commit finish the retirement)
     val base = pidGens.map(_._1).maxOption.map(_ + 1).getOrElse(0)
+    val freshPids = groups.indices.map(base + _)
+    // persisted intent BEFORE the first swap: recovery can then prove
+    // whether the adds completed (all fresh pids committed -> finish
+    // retiring) or not (roll the landed fresh pids back)
+    if (freshPids.nonEmpty || retired.nonEmpty)
+      Lineage.writeReplaceIntent(fs, path, freshPids, retired.toSeq.sorted)
     groups.zipWithIndex.foreach { case (g, i) =>
       Lineage.swapInGroup(fs, path, base + i, Some(g.staged), g.rows,
         Some(pidGens))
@@ -154,6 +164,8 @@ class GraftReplaceDataWrite(path: String, schema: StructType,
     retired.toSeq.sorted.foreach { pid =>
       Lineage.swapInGroup(fs, path, pid, None, Seq.empty, Some(pidGens))
     }
+    if (freshPids.nonEmpty || retired.nonEmpty)
+      Lineage.clearReplaceIntent(fs, path)
     // survivors moved partitions: hash placement no longer holds
     Lineage.clearBucketMarker(fs, path)
   }
