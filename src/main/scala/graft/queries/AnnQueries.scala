@@ -406,13 +406,24 @@ object Ivf {
     var cents = Array.tabulate(k)(c => sample((c * sample.length) / k).clone())
     var it = 0
     while (it < iters) {
+      // assignment (the O(samples*k*dim) part) in parallel — each index is
+      // an independent pure function; the SUMS then accumulate in sample
+      // order exactly as the old sequential loop did, so the centroids
+      // stay BIT-IDENTICAL (the Python oracle replica depends on that)
+      val assign = new Array[Int](sample.length)
+      val cs = cents
+      java.util.Arrays.parallelSetAll(assign,
+        (i: Int) => nearestCentroid(cs, sample(i)))
       val sums = Array.fill(k)(new Array[Double](dim))
       val counts = new Array[Int](k)
-      sample.foreach { v =>
-        val c = nearestCentroid(cents, v)
+      var i = 0
+      while (i < sample.length) {
+        val v = sample(i)
+        val c = assign(i)
         counts(c) += 1
         var d = 0
         while (d < dim) { sums(c)(d) += v(d); d += 1 }
+        i += 1
       }
       cents = Array.tabulate(k) { c =>
         if (counts(c) == 0) cents(c)

@@ -201,11 +201,61 @@ object DedupQueries {
       .filter(col("jaccard") >= 0.8)
       .select(col("id_a"), col("id_b"))
       .cache()
+    val nPairs = pairs.count()
     // a clean corpus has no verified pairs: the empty cluster table IS the
     // answer (and the sum-potential below would be a null decimal)
-    if (pairs.isEmpty) {
+    if (nPairs == 0L) {
       sh.unpersist(); pairs.unpersist()
       return s.emptyDataset[(Long, Long)].toDF("cluster_rep", "size")
+    }
+    // BOUNDED driver fast path: a verified near-dup pair set is 16 bytes a
+    // row, and below `graft.cluster.maxLocalPairs` (default 4M pairs =
+    // 64 MB — the same driver-budget stance as the training collects) a
+    // driver-side union-find reaches the identical fixpoint (component
+    // minimum as representative) in ONE collect instead of O(diameter)
+    // join+aggregate rounds of fixed Spark overhead each. Past the bound —
+    // the 100-TB path — the distributed min-label propagation below runs
+    // unchanged (cost per round independent of document size; the loop is
+    // exercised in-suite with the bound forced to 0).
+    val maxLocal = s.conf.get("graft.cluster.maxLocalPairs",
+      (1L << 22).toString).toLong
+    if (nPairs <= maxLocal) {
+      val edgeArr = pairs.as[(Long, Long)].collect()
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x0: Long): Long = {
+        var root = x0
+        while (parent.getOrDefault(root, root) != root)
+          root = parent.getOrDefault(root, root)
+        var x = x0
+        while (parent.getOrDefault(x, x) != root) {
+          val next = parent.getOrDefault(x, x); parent.put(x, root); x = next
+        }
+        root
+      }
+      edgeArr.foreach { case (a, b) =>
+        val ra = find(a); val rb = find(b)
+        // union toward the smaller root: the final root IS the component
+        // minimum, exactly the min-label fixpoint
+        if (ra < rb) parent.put(rb, ra)
+        else if (rb < ra) parent.put(ra, rb)
+      }
+      val sizes = new java.util.TreeMap[Long, Long]()
+      val seen = new java.util.HashSet[Long]()
+      edgeArr.foreach { case (a, b) =>
+        Seq(a, b).foreach { id =>
+          if (seen.add(id)) {
+            val r = find(id)
+            sizes.put(r, sizes.getOrDefault(r, 0L) + 1L)
+          }
+        }
+      }
+      sh.unpersist(); pairs.unpersist()
+      import scala.jdk.CollectionConverters._
+      return s.createDataset(
+          sizes.entrySet().iterator().asScala
+            .map(e => (e.getKey.longValue(), e.getValue.longValue())).toSeq)
+        .toDF("cluster_rep", "size")
+        .orderBy(col("cluster_rep"))
     }
     val edges = pairs
       .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))

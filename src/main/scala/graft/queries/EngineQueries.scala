@@ -60,9 +60,17 @@ object EngineQueries {
   private val rowsCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
+  /** encodeRoundtrip's config: numPartitions = 0 — partition-LOCAL encode,
+    * no arrange shuffle. The corpus generator already emits a fixed
+    * deterministic partitioning, and every output column of the roundtrip
+    * (per-source sums, mismatch count) is partitioning-invariant, so the
+    * one repartition the arranged path pays (the entire token payload
+    * through an exchange) buys nothing here. This is the same
+    * at-scale-input-already-placed configuration the bench headline uses;
+    * paths that need resume-stable membership (Lineage) keep explicit
+    * partition counts. */
   private def cfgFor(s: SparkSession): EncoderConfig =
-    EncoderConfig(chunkTokens = 1 << 18,
-      numPartitions = s.sparkContext.defaultParallelism)
+    EncoderConfig(chunkTokens = 1 << 18, numPartitions = 0)
 
   /** Full pipeline: synthesize corpus -> encode -> decode -> verify ->
     * per-source rollup with roundtrip mismatch count (must be 0).

@@ -129,5 +129,22 @@ class DedupDetectionSpec extends AnyFunSuite {
       s"dedupClusters left ${leaked.size} pinned RDDs: $leaked")
     leaked.foreach(id =>
       spark.sparkContext.getPersistentRDDs(id).unpersist(blocking = true))
+
+    // the DISTRIBUTED propagation path (the 100-TB shape): force the
+    // driver union-find bound to 0 and pin the identical result + the
+    // same no-leak contract
+    spark.conf.set("graft.cluster.maxLocalPairs", "0")
+    try {
+      val before2 = spark.sparkContext.getPersistentRDDs.keySet.toSet
+      val rows2 = DedupQueries.dedupClusters(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows2.toSeq == Seq((0L, 3L)),
+        s"distributed path diverged: ${rows2.toSeq}")
+      val leaked2 = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before2
+      assert(leaked2.size <= 1,
+        s"distributed dedupClusters left ${leaked2.size} pinned RDDs: $leaked2")
+      leaked2.foreach(id =>
+        spark.sparkContext.getPersistentRDDs(id).unpersist(blocking = true))
+    } finally spark.conf.unset("graft.cluster.maxLocalPairs")
   }
 }
