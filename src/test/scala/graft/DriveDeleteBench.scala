@@ -114,6 +114,24 @@ object DriveDeleteBench {
     val probe = spark.read.format("graft").load(s"$base/t_range")
       .filter(col("doc_id") === f"doc-${nRows - 1}%012d").count()
     require(probe == 1, s"point read over gen'd table: $probe")
+
+    // SPARSE shapes — the driver-side all-Keep prefilter's territory: a
+    // point delete touches the one partition whose zones cover the id
+    // (everything else provably Keep, never scheduled), and a no-match
+    // delete schedules NOTHING at all. Cost must be ∝ affected data, not
+    // table size.
+    val pointId = f"doc-${nRows - 7}%012d"
+    val (cowPointSec, stPoint) = cow(s"$base/t_src",
+      Array(org.apache.spark.sql.sources.EqualTo("doc_id", pointId)))
+    require(stPoint.rowsDeleted == 1, s"point delete: $stPoint")
+    println(f"DELBENCH point cow=$cowPointSec%.3fs " +
+      f"partsRewritten=${stPoint.partsRewritten} " +
+      f"rewritten=${stPoint.chunksRewritten} copied=${stPoint.chunksCopied}")
+    val (cowNoneSec, stNone) = cow(s"$base/t_src",
+      Array(org.apache.spark.sql.sources.EqualTo("doc_id", "zzz-no-such-doc")))
+    require(stNone.rowsDeleted == 0 && stNone.partsRewritten == 0,
+      s"no-match delete must touch nothing: $stNone")
+    println(f"DELBENCH none cow=$cowNoneSec%.3fs (zero partitions scheduled)")
     println("DELBENCH ok")
     spark.stop()
   }
